@@ -1,13 +1,250 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.compile.ConstraintCompiler
+import graft.engine.{Passes, PageValidator}
+import graft.spec._
+import graft.testdata.PagesGen
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with DuckDB-equivalent oracle SQL where SQL-expressible.
+  * All queries read the driver-provided parquet under `dir`
+  * (TESTDATA.md) and sort by a unique key for deterministic compare. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  /** Flagship: full page-validation pipeline (north_star) on synthesized
+    * dirty pages; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val n = 20000L
+    val pages = PagesGen.pages(spark, n, "dirty")
+    val res = PageValidator.validate(spark, pages,
+      PagesGen.langDim(spark), PagesGen.expectedText(spark, n))
+    res.violations
+  }
+
+  /** Documents-table spec used by the rule/verdict queries: two rules fail
+    * on real driver data (n_chars < 50, text longer than 400), three never
+    * fire (guards that the compiler doesn't over-report). */
+  private def docsSpec = TableSpec(
+    table = "documents", partitionColumn = "source", keyColumns = Seq("doc_id"),
+    rules = Seq(
+      NotNull("text"),
+      MinValue("n_chars", 50),
+      MaxLen("text", 400),
+      InSet("lang", Seq("en", "de", "fr", "es", "zh")),
+      ExprRule("consistent:n_chars", "n_chars", "n_chars = length(text)",
+        "concat('n_chars ', n_chars, ' does not equal length(text) in ''n_chars''')")))
+
+  private val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.1 scans -----------------------------------------------------
+    "s1_scan_filter" -> ((s, dir) => {
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .where(col("n_chars").between(100, 200))
+        .orderBy("doc_id")
+    }),
+    // ---- §2.2 row-level constraint scan (fused single pass) -------------
+    "p_rules_documents" -> ((s, dir) => {
+      ConstraintCompiler.violations(docsSpec, s.read.parquet(t(dir, "documents")))
+        .withColumn("rule_seq", col("rule_seq").cast("int"))
+        .orderBy("doc_id", "rule_seq")
+    }),
+    // ---- §2.4 A7 per-partition verdicts ----------------------------------
+    "a7_verdict_by_source" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      Passes.verdicts(ConstraintCompiler.violations(docsSpec, docs), "source", docs)
+        .orderBy("source")
+    }),
+    // ---- §2.4 A9 column stats (exact-distinct variant for the oracle) ---
+    "a9_stats_exact" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      val aggs: Seq[Column] = Seq(count(lit(1)).as("n_rows")) ++ docCols.flatMap { c =>
+        Seq(sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+          min(col(c).cast("string")).as(s"${c}__min"),
+          max(col(c).cast("string")).as(s"${c}__max"),
+          countDistinct(col(c)).as(s"${c}__dist"))
+      }
+      val stackExpr = docCols.map(c =>
+        s"'$c', ${c}__nulls, ${c}__min, ${c}__max, ${c}__dist").mkString(
+        s"stack(${docCols.size}, ", ", ",
+        ") as (column, n_null, min_str, max_str, n_distinct)")
+      docs.agg(aggs.head, aggs.tail: _*)
+        .select(expr(stackExpr), col("n_rows"))
+        .select(col("column"), col("n_rows"), col("n_null"),
+          (col("n_null").cast("double") / col("n_rows")).as("null_rate"),
+          col("min_str"), col("max_str"), col("n_distinct"))
+        .orderBy("column")
+    }),
+    // ---- §2.4 A5 uniqueness (salted two-phase) ---------------------------
+    "a5_unique_salted" -> ((s, dir) => {
+      Passes.duplicatesSalted(s.read.parquet(t(dir, "lineitem")), "l_orderkey")
+        .orderBy("l_orderkey")
+    }),
+    // ---- §2.4 A1-style aggregation (TPC-H Q1 shape) ----------------------
+    "q1_agg_lineitem" -> ((s, dir) => {
+      s.read.parquet(t(dir, "lineitem"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // ---- §2.5 J4 referential anti-join (broadcast dim) -------------------
+    "j4_ref_lang_dim" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Seq("en", "de", "fr", "es").toDF("lang")
+      Passes.referentialViolations(
+          s.read.parquet(t(dir, "documents")), "lang", dim, "lang")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+    // ---- §2.5 broadcast inner join + aggregate ---------------------------
+    "j_join_orders_customer" -> ((s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+      val c = s.read.parquet(t(dir, "customer"))
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("c_mktsegment")
+    }),
+    // ---- §2.7 window function --------------------------------------------
+    "w_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      s.read.parquet(t(dir, "events"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .select(col("user_id"), col("event_id"), col("rn").cast("int").as("rn"))
+        .orderBy("user_id", "rn")
+    }),
+    // ---- §2.3 scalar function battery -------------------------------------
+    "f_scalar_text" -> ((s, dir) => {
+      s.read.parquet(t(dir, "documents")).select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("len"),
+          upper(substring(col("text"), 1, 8)).as("head8"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          size(regexp_extract_all(col("text"), lit("data"), lit(0))).cast("long").as("n_data"))
+        .orderBy("doc_id")
+    }),
+    // ---- semi-structured: JSON extraction ---------------------------------
+    "json_extract_events" -> ((s, dir) => {
+      s.read.parquet(t(dir, "events"))
+        .groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+    // ---- time bucketing (batch equivalent of the streaming window) --------
+    "t_time_window" -> ((s, dir) => {
+      s.read.parquet(t(dir, "events"))
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .select(col("day"), col("event_type"), col("n"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy("day", "event_type")
+    }),
+    // ---- training-pipeline: exact dedup ------------------------------------
+    "dedup_exact" -> ((s, dir) => {
+      s.read.parquet(t(dir, "documents"))
+        .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keep_id"))
+        .where(col("cnt") > 1)
+        .orderBy("text_md5")
+    }),
+    // ---- training-pipeline: token counting + quality signals ---------------
+    "text_quality" -> ((s, dir) => {
+      val stop = Seq("the", "a", "of", "and", "to", "in")
+      val toks = split(col("text"), " ")
+      s.read.parquet(t(dir, "documents")).select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(filter(toks, x => x.isin(stop.map(lit): _*))).cast("long").as("n_stop"),
+          (size(filter(toks, x => x.isin(stop.map(lit): _*))).cast("double") /
+            size(toks)).as("stop_ratio"))
+        .orderBy("doc_id")
+    }))
+
+  def oracleSql: Map[String, String] = {
+    val statsUnion = docCols.map { c =>
+      s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+         | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS null_rate,
+         | min(CAST($c AS VARCHAR)) AS min_str, max(CAST($c AS VARCHAR)) AS max_str,
+         | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM documents""".stripMargin.replaceAll("\n", " ")
+    }.mkString(" UNION ALL ")
+    Map(
+      "s1_scan_filter" ->
+        "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars BETWEEN 100 AND 200 ORDER BY doc_id",
+      "p_rules_documents" -> ("""
+        SELECT * FROM (
+          SELECT source, doc_id, CAST(1 AS INT) AS rule_seq, 'minimum:n_chars' AS rule_id,
+                 'n_chars' AS "column", 'error' AS level,
+                 CAST(n_chars AS VARCHAR) || ' is less than the minimum of 50 in ''n_chars''' AS message
+          FROM documents WHERE n_chars < 50
+          UNION ALL
+          SELECT source, doc_id, CAST(2 AS INT), 'max_length:text', 'text', 'error',
+                 '''' || text || ''' is too long (maxLength: 400) in ''text'''
+          FROM documents WHERE length(text) > 400
+        ) ORDER BY doc_id, rule_seq""").replaceAll("\\s+", " ").trim,
+      "a7_verdict_by_source" -> ("""
+        SELECT s.source, COALESCE(v.n, 0) AS n_violations, COALESCE(v.n, 0) = 0 AS pass
+        FROM (SELECT DISTINCT source FROM documents) s
+        LEFT JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+                   WHERE n_chars < 50 OR length(text) > 400 GROUP BY source) v USING (source)
+        ORDER BY s.source""").replaceAll("\\s+", " ").trim,
+      "a9_stats_exact" ->
+        (s"""SELECT * FROM ($statsUnion) ORDER BY "column""""),
+      "a5_unique_salted" ->
+        "SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey",
+      "q1_agg_lineitem" -> ("""
+        SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""").replaceAll("\\s+", " ").trim,
+      "j4_ref_lang_dim" ->
+        "SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr','es') ORDER BY doc_id",
+      "j_join_orders_customer" -> ("""
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""").replaceAll("\\s+", " ").trim,
+      "w_window_topk" -> ("""
+        SELECT user_id, event_id, CAST(rn AS INT) AS rn FROM (
+          SELECT user_id, event_id,
+                 row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+          FROM events) WHERE rn <= 2 ORDER BY user_id, rn""").replaceAll("\\s+", " ").trim,
+      "f_scalar_text" -> ("""
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+               upper(substring(text, 1, 8)) AS head8,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, 'data')) AS BIGINT) AS n_data
+        FROM documents ORDER BY doc_id""").replaceAll("\\s+", " ").trim,
+      "json_extract_events" -> ("""
+        SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type ORDER BY event_type""").replaceAll("\\s+", " ").trim,
+      "t_time_window" -> ("""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+               CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY day, event_type""").replaceAll("\\s+", " ").trim,
+      "dedup_exact" -> ("""
+        SELECT md5(text) AS text_md5, CAST(count(*) AS BIGINT) AS cnt,
+               min(doc_id) AS keep_id
+        FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY text_md5""").replaceAll("\\s+", " ").trim,
+      "text_quality" -> ("""
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop,
+               CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS stop_ratio
+        FROM documents ORDER BY doc_id""").replaceAll("\\s+", " ").trim)
+  }
 }

@@ -1,0 +1,107 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Aggregate-shaped validation passes — the GROUP-BY / JOIN half of the
+  * reference's checks (SURVEY.md §2.4/§2.5), each built so the physical plan
+  * is the one you'd want at 10^12 rows:
+  *
+  *  - stats: ONE hash aggregate over the scan (partial+final, HLL++ for
+  *    distinct) — no per-column passes.
+  *  - uniqueness: two-phase aggregation; the salted variant splits hot keys
+  *    across an explicit pre-aggregation so a billion-duplicate url cannot
+  *    pin a single reducer (ref analogue: duplicate table names,
+  *    submission_file_validator.py:140-156).
+  *  - referential: broadcast LEFT ANTI join against the (small) dimension
+  *    (ref analogue: data_file existence, full_submission_validator.py:304-316).
+  *  - invariant: inner join against the expected-hash table, compare
+  *    `sha2(text, 256)` row-by-row (north-star byte-identical text check).
+  */
+object Passes {
+
+  /** Per-column stats in a single aggregate pass (SURVEY §2.4 A9).
+    * Returns one row per column: column, n_rows, n_null, null_rate,
+    * min_str, max_str, approx_distinct. */
+  def columnStats(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("n_rows")) ++ columns.flatMap { c =>
+      Seq(
+        sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+        min(col(c).cast("string")).as(s"${c}__min"),
+        max(col(c).cast("string")).as(s"${c}__max"),
+        approx_count_distinct(col(c)).as(s"${c}__adist"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot to one row per column (stack is codegen'd; wide is 1 row)
+    val stackExpr = columns.map { c =>
+      s"'$c', ${c}__nulls, ${c}__min, ${c}__max, ${c}__adist"
+    }.mkString(s"stack(${columns.size}, ", ", ", ") as (column, n_null, min_str, max_str, approx_distinct)")
+    wide.select(col("n_rows"), expr(stackExpr))
+      .select(col("column"), col("n_rows"), col("n_null"),
+        (col("n_null").cast("double") / col("n_rows")).as("null_rate"),
+        col("min_str"), col("max_str"), col("approx_distinct"))
+  }
+
+  /** Exact duplicate keys (count > 1). Spark's hash aggregate already
+    * performs map-side partial aggregation; this is the unsalted path for
+    * keys with bounded duplication. */
+  def duplicates(df: DataFrame, key: String): DataFrame =
+    df.where(col(key).isNotNull)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+
+  /** Skew-safe duplicate detection: explicit two-phase aggregation with the
+    * input partition id as salt. Phase 1 reduces each hot key to ≤ P partial
+    * counts before the shuffle; phase 2 merges. Exact same result as
+    * [[duplicates]] for any input. */
+  def duplicatesSalted(df: DataFrame, key: String): DataFrame =
+    df.where(col(key).isNotNull)
+      .groupBy(col(key), spark_partition_id().as("_salt"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(key))
+      .agg(sum(col("_c")).as("cnt"))
+      .where(col("cnt") > 1)
+
+  /** Rows of `fact` whose `factKey` has no match in `dim.dimKey` — broadcast
+    * hash anti-join (dim is small by construction). Null FKs are not
+    * referential violations (they're NotNull's job). */
+  def referentialViolations(
+      fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String): DataFrame = {
+    val d = dim.select(col(dimKey).as(factKey)).distinct()
+    fact.where(col(factKey).isNotNull)
+      .join(broadcast(d), Seq(factKey), "left_anti")
+  }
+
+  /** Byte-identical text invariant: inner-join on key against the expected
+    * sha256 table; emit mismatching rows. `carry` columns (e.g. the partition
+    * id) are preserved on the violating rows. */
+  def textInvariantViolations(
+      pages: DataFrame, key: String, textCol: String,
+      expected: DataFrame, expectedHashCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    val keep = (col(key) +: carry.map(col)) :+
+      sha2(col(textCol).cast("binary"), 256).as("_actual")
+    pages.select(keep: _*)
+      .join(expected.select(col(key), col(expectedHashCol).as("_expected")), Seq(key))
+      .where(col("_actual") =!= col("_expected"))
+  }
+
+  /** Per-partition verdicts: every partition in `universe` gets a row;
+    * pass ⇔ zero violations attributed to it (ref: per-file verdict,
+    * hepdata_validator/__init__.py:124-132). */
+  def verdicts(
+      violations: DataFrame, partitionCol: String,
+      universe: DataFrame): DataFrame = {
+    val vc = violations
+      .where(col("level") === "error")
+      .groupBy(col(partitionCol))
+      .agg(count(lit(1)).as("n_violations"))
+    universe.select(col(partitionCol)).distinct()
+      .join(vc, Seq(partitionCol), "left")
+      .select(col(partitionCol),
+        coalesce(col("n_violations"), lit(0L)).as("n_violations"),
+        (coalesce(col("n_violations"), lit(0L)) === 0L).as("pass"))
+  }
+}
