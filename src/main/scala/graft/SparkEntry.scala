@@ -159,6 +159,17 @@ object SparkEntry {
         .where(col("cnt") > 1)
         .orderBy("text_md5")
     }),
+    // ---- §2.2-2.4 HEPData nested-table rules over the fixture corpus ------
+    "hep_verdicts" -> ((s, dir) => {
+      import s.implicits._
+      graft.hep.HepDataRules.verdicts(graft.hep.HepFixtures.all.toDS().toDF())
+        .orderBy("file")
+    }),
+    "hep_violations" -> ((s, dir) => {
+      import s.implicits._
+      graft.hep.HepDataRules.violations(graft.hep.HepFixtures.all.toDS().toDF())
+        .orderBy("file", "seq")
+    }),
     // ---- training-pipeline: token counting + quality signals ---------------
     "text_quality" -> ((s, dir) => {
       val stop = Seq("the", "a", "of", "and", "to", "in")
@@ -240,6 +251,21 @@ object SparkEntry {
         SELECT md5(text) AS text_md5, CAST(count(*) AS BIGINT) AS cnt,
                min(doc_id) AS keep_id
         FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY text_md5""").replaceAll("\\s+", " ").trim,
+      // golden-constant oracle: expected verdicts of the translated
+      // reference fixture corpus (counts pinned by HepDataRulesSpec)
+      "hep_verdicts" -> ("""
+        SELECT * FROM (VALUES
+          ('binning_average.yaml', CAST(1 AS BIGINT), false),
+          ('empty_file.yaml', CAST(1 AS BIGINT), false),
+          ('file_with_inconsistent_values.yaml', CAST(1 AS BIGINT), false),
+          ('file_with_zero_uncertainty.yaml', CAST(1 AS BIGINT), false),
+          ('invalid_file.yaml', CAST(5 AS BIGINT), false),
+          ('invalid_independent_variables_file.yaml', CAST(10 AS BIGINT), false),
+          ('invalid_missing_values.yaml', CAST(1 AS BIGINT), false),
+          ('valid_data_with_percent.yaml', CAST(0 AS BIGINT), true),
+          ('valid_data_with_zero_percent.yaml', CAST(1 AS BIGINT), false),
+          ('valid_file.yaml', CAST(0 AS BIGINT), true)
+        ) AS t(file, n_violations, pass) ORDER BY file""").replaceAll("\\s+", " ").trim,
       "text_quality" -> ("""
         SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop,

@@ -1,0 +1,303 @@
+package graft.hep
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-file validation (ref: hepdata_validator/data_file_validator.py) as a
+  * SINGLE fused Catalyst projection per document row.
+  *
+  * Every check family builds an array of violation structs inside nested
+  * `transform`/`filter` lambdas (whole-stage codegen'd, no UDFs); the arrays
+  * are concatenated, `array_sort`ed by the reference's emission order and
+  * fanned out with `posexplode` — only rows that actually have violations pay
+  * the explode. At 10^12 rows this is one scan, no shuffle.
+  *
+  * Emission-order model (sort key = (phase, k1..k5)):
+  *  - phase -1: empty document ("No data found in file.",
+  *    data_file_validator.py:103-107)
+  *  - phase 0: JSON-schema checks in instance order (jsonschema iter_errors;
+  *    __init__.py:112-122): k1 = 0 indep / 1 dep, then var idx, value idx
+  *    (9000 = var-level required, 9001 = additionalProperties), error idx.
+  *  - phase 1: check_error_values (data_file_validator.py:224-284): dep var,
+  *    value, error idx, sub (0 sym/plus invalid, 1 minus invalid, 5 empty);
+  *    the all-zero check emits after a value's errors (k3=9999).
+  *  - phase 2: check_length_values (:286-309).
+  *  - phase 3: check_independent_variable_values (:165-222); under/overflow
+  *    emit after a variable's values loop (k2=len).
+  *
+  * Exception-abort semantics are mirrored exactly: the three semantic checks
+  * run in one `try` (:137-152), so a dep var without 'values' truncates
+  * check_error_values at that var and suppresses phases 2-3 entirely;
+  * a missing independent_variables key suppresses phase 2 output and phase 3;
+  * an indep var without 'values' truncates phase 3 at that var.
+  */
+object HepDataRules {
+
+  /** Python dict-reprs of schema subsections, embedded verbatim in messages
+    * exactly as jsonschema does (ref: __init__.py:177-179; golden strings in
+    * testsuite/test_data_validator.py:372-394). Derived from the public
+    * schemas/1.1.1/data_schema.json. */
+  val OneOfRepr: String =
+    "{'oneOf': [{'type': 'object', 'properties': {'value': {'type': ['string', 'number']}}, 'required': ['value'], 'additionalProperties': False}, {'type': 'object', 'properties': {'value': {'type': 'number'}, 'low': {'type': 'number'}, 'high': {'type': 'number'}}, 'required': ['low', 'high'], 'additionalProperties': False}]}"
+
+  val DepValueItemRepr: String =
+    "{'type': 'object', 'properties': {'value': {'type': ['string', 'number']}, 'errors': {'type': 'array', 'items': {'type': 'object', 'properties': {'symerror': {'type': ['number', 'string']}, 'asymerror': {'type': 'object', 'properties': {'minus': {'type': ['number', 'string']}, 'plus': {'type': ['number', 'string']}}, 'required': ['minus', 'plus'], 'additionalProperties': False}, 'label': {'type': 'string'}}, 'oneOf': [{'required': ['symerror']}, {'required': ['asymerror']}], 'additionalProperties': False}}}, 'required': ['value'], 'additionalProperties': False}"
+
+  val DepItemRepr: String =
+    "{'type': 'object', 'properties': {'header': {'type': 'object', 'properties': {'name': {'type': 'string'}, 'units': {'type': 'string'}}, 'required': ['name'], 'additionalProperties': False}, 'qualifiers': {'type': 'array', 'items': {'type': 'object', 'properties': {'name': {'type': 'string'}, 'value': {'type': ['string', 'number']}, 'units': {'type': 'string'}}, 'required': ['name', 'value'], 'additionalProperties': False}}, 'values': " +
+      "{'type': 'array', 'items': {'type': 'object', 'properties': {'value': {'type': ['string', 'number']}, 'errors': {'type': 'array', 'items': {'type': 'object', 'properties': {'symerror': {'type': ['number', 'string']}, 'asymerror': {'type': 'object', 'properties': {'minus': {'type': ['number', 'string']}, 'plus': {'type': ['number', 'string']}}, 'required': ['minus', 'plus'], 'additionalProperties': False}, 'label': {'type': 'string'}}, 'oneOf': [{'required': ['symerror']}, {'required': ['asymerror']}], 'additionalProperties': False}}}, 'required': ['value'], 'additionalProperties': False}}}, 'required': ['header', 'values'], 'additionalProperties': False}"
+
+  val IndepItemRepr: String =
+    "{'type': 'object', 'properties': {'header': {'type': 'object', 'properties': {'name': {'type': 'string'}, 'units': {'type': 'string'}}, 'required': ['name'], 'additionalProperties': False}, 'values': {'type': 'array', 'items': " +
+      OneOfRepr + "}}}, 'required': ['header', 'values'], 'additionalProperties': False}"
+
+  /** ref: data_file_validator.py:177 */
+  val RangeRe: String =
+    "^[+-]?\\d+(\\.\\d*)?([eE][+-]?\\d+)?\\s*-\\s*[+-]?\\d+(\\.\\d*)?([eE][+-]?\\d+)?$"
+
+  private def vio(phase: Int, k1: Column, k2: Column, k3: Column, k4: Column,
+      k5: Column, msg: Column): Column =
+    struct(lit(phase).as("phase"), k1.cast("int").as("k1"),
+      k2.cast("int").as("k2"), k3.cast("int").as("k3"),
+      k4.cast("int").as("k4"), k5.cast("int").as("k5"), msg.as("message"))
+
+  private def optVio(cond: Column, v: Column): Column = when(cond, v)
+  private def str(i: Column): Column = i.cast("string")
+  private def nn(a: Column): Column = a.isNotNull
+
+  // convert_to_float semantics (data_file_validator.py:312-332):
+  // strip ALL '%', float-parse; '' allowed.
+  // NB: Java's parseDouble (behind Spark's cast) accepts a trailing f/d
+  // suffix and hex literals that Python's float() rejects (the golden
+  // '2.300e-003f' case), so gate the cast with a Python-float-shaped regex.
+  private val PyFloatRe =
+    "^[+-]?((\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?|[iI][nN][fF]([iI][nN][iI][tT][yY])?|[nN][aA][nN])$"
+  private def stripPct(c: Column): Column = regexp_replace(c, "%", "")
+  private def parsedF(c: Column): Column = {
+    val t = trim(stripPct(c))
+    when(t.rlike(PyFloatRe), t.try_cast("double"))
+  }
+  private def isZeroF(c: Column): Column = parsedF(c).isNotNull && parsedF(c) === 0.0
+  private def isInvalidF(c: Column): Column = stripPct(c) =!= "" && parsedF(c).isNull
+  private def isInf(c: Column): Column = abs(c) === lit(Double.PositiveInfinity)
+
+  /** All violations for a Dataset[HepRow]-shaped DataFrame.
+    * Output: (file, seq, phase, message, level) ordered per file. */
+  def violations(df: DataFrame): DataFrame = {
+    val emptyArr = filter(
+      array(vio(-1, lit(0), lit(0), lit(0), lit(0), lit(0),
+        lit("No data found in file."))),
+      _ => col("emptyDoc"))
+
+    // ---- phase 0: schema checks --------------------------------------
+    val indepSchemaArr = flatten(transform(col("indep"), (v, i) => {
+      val valueErrs = filter(transform(v.getField("values"), (x, j) => {
+        val schema1 = x.getField("hasValue") && !x.getField("hasLow") &&
+          !x.getField("hasHigh") && size(x.getField("extraKeys")) === 0
+        val schema2 = x.getField("hasLow") && x.getField("hasHigh") &&
+          x.getField("lowIsNum") && x.getField("highIsNum") &&
+          (!x.getField("hasValue") || !x.getField("valueIsString")) &&
+          size(x.getField("extraKeys")) === 0
+        optVio(!(schema1 || schema2),
+          vio(0, lit(0), i, j, lit(-1), lit(0),
+            concat(x.getField("instanceRepr"),
+              lit(" is not valid under any of the given schemas in 'independent_variables["),
+              str(i), lit("].values["), str(j),
+              lit(s"]' (expected: $OneOfRepr)"))))
+      }), nn(_))
+      val reqErr = filter(
+        array(vio(0, lit(0), i, lit(9000), lit(1), lit(0),
+          concat(lit("'values' is a required property in 'independent_variables["),
+            str(i), lit(s"]' (expected: $IndepItemRepr)")))),
+        _ => !v.getField("hasValues"))
+      concat(valueErrs, reqErr)
+    }))
+
+    val depSchemaArr = flatten(transform(col("dep"), (dv, k) => {
+      val nested = flatten(transform(dv.getField("values"), (x, i) => {
+        val labelErrs = filter(transform(x.getField("errors"), (e, j) =>
+          optVio(e.getField("hasLabel") && !e.getField("labelIsString"),
+            vio(0, lit(1), k, i, j, lit(0),
+              concat(e.getField("labelRaw"),
+                lit(" is not of type 'string' in 'dependent_variables["), str(k),
+                lit("].values["), str(i), lit("].errors["), str(j),
+                lit("].label' (expected: {'type': 'string'})"))))), nn(_))
+        val extras = x.getField("extraKeys")
+        val valLevel = filter(array(
+          optVio(!x.getField("hasValue"),
+            vio(0, lit(1), k, i, lit(9000), lit(0),
+              concat(lit("'value' is a required property in 'dependent_variables["),
+                str(k), lit("].values["), str(i),
+                lit(s"]' (expected: $DepValueItemRepr)")))),
+          optVio(size(extras) > 0,
+            vio(0, lit(1), k, i, lit(9001), lit(0),
+              concat(lit("Additional properties are not allowed ("),
+                array_join(transform(array_sort(extras),
+                  ek => concat(lit("'"), ek, lit("'"))), ", "),
+                when(size(extras) === 1, lit(" was unexpected)"))
+                  .otherwise(lit(" were unexpected)")),
+                lit(" in 'dependent_variables["), str(k), lit("].values["),
+                str(i), lit(s"]' (expected: $DepValueItemRepr)"))))), nn(_))
+        concat(labelErrs, valLevel)
+      }))
+      val varLevel = filter(array(
+        optVio(!dv.getField("hasHeader"),
+          vio(0, lit(1), k, lit(9000), lit(0), lit(0),
+            concat(lit("'header' is a required property in 'dependent_variables["),
+              str(k), lit(s"]' (expected: $DepItemRepr)")))),
+        optVio(!dv.getField("hasValues"),
+          vio(0, lit(1), k, lit(9000), lit(1), lit(0),
+            concat(lit("'values' is a required property in 'dependent_variables["),
+              str(k), lit(s"]' (expected: $DepItemRepr)"))))), nn(_))
+      concat(nested, varLevel)
+    }))
+
+    // ---- semantic-check gating (exception-abort mirror) --------------
+    val firstBadDep = array_position(
+      transform(col("dep"), v => v.getField("hasValues")), false)
+    val effDep = when(firstBadDep === 0, col("dep"))
+      .otherwise(slice(col("dep"), lit(1), (firstBadDep - 1).cast("int")))
+    val lengthRan = col("hasDep") && firstBadDep === 0
+    val phase23Gate = lengthRan && col("hasIndep")
+
+    // ---- phase 1: check_error_values ---------------------------------
+    val errValArr = flatten(transform(effDep, (dv, k) =>
+      flatten(transform(dv.getField("values"), (x, i) => {
+        val perErr = flatten(transform(x.getField("errors"), (e, j) => {
+          def invalidMsg(raw: Column, sub: String) =
+            concat(lit("Invalid error value "), stripPct(raw),
+              lit(": value must be a number (possibly ending in %) in 'dependent_variables.values["),
+              str(i), lit("].errors["), str(j), lit(s"].$sub'"))
+          val emptySym = e.getField("hasSym") && stripPct(e.getField("symRaw")) === ""
+          val emptyAsym = e.getField("hasAsym") &&
+            stripPct(e.getField("plusRaw")) === "" &&
+            stripPct(e.getField("minusRaw")) === ""
+          filter(array(
+            optVio(e.getField("hasSym") && isInvalidF(e.getField("symRaw")),
+              vio(1, k, i, j, lit(0), lit(0),
+                invalidMsg(e.getField("symRaw"), "symerror"))),
+            optVio(!e.getField("hasSym") && e.getField("hasAsym") &&
+                isInvalidF(e.getField("plusRaw")),
+              vio(1, k, i, j, lit(0), lit(1),
+                invalidMsg(e.getField("plusRaw"), "asymerror.plus"))),
+            optVio(!e.getField("hasSym") && e.getField("hasAsym") &&
+                isInvalidF(e.getField("minusRaw")),
+              vio(1, k, i, j, lit(1), lit(0),
+                invalidMsg(e.getField("minusRaw"), "asymerror.minus"))),
+            optVio(emptySym,
+              vio(1, k, i, j, lit(5), lit(0),
+                concat(lit("symerror cannot be empty in 'dependent_variables.values["),
+                  str(i), lit("].errors["), str(j), lit("].symerror'")))),
+            optVio(!e.getField("hasSym") && emptyAsym,
+              vio(1, k, i, j, lit(5), lit(0),
+                concat(lit("asymerror plus and minus cannot both be empty in 'dependent_variables.values["),
+                  str(i), lit("].errors["), str(j), lit("].asymerror'"))))), nn(_))
+        }))
+        val isZeroErr = (e: Column) =>
+          when(e.getField("hasSym"), isZeroF(e.getField("symRaw")))
+            .otherwise(e.getField("hasAsym") &&
+              isZeroF(e.getField("plusRaw")) && isZeroF(e.getField("minusRaw")))
+        val zeroV = filter(array(
+          optVio(x.getField("hasErrors") && size(x.getField("errors")) > 0 &&
+              forall(x.getField("errors"), isZeroErr),
+            vio(1, k, i, lit(9999), lit(0), lit(0),
+              concat(lit("Uncertainties should not all be zero in 'dependent_variables.values["),
+                str(i), lit("].errors'"))))), nn(_))
+        concat(perErr, zeroV)
+      }))))
+
+    // ---- phase 2: check_length_values --------------------------------
+    val indepCounts = transform(
+      filter(col("indep"), v => v.getField("hasValues")),
+      v => size(v.getField("values")))
+    val depCounts = transform(
+      filter(col("dep"), v => v.getField("hasValues")),
+      v => size(v.getField("values")))
+    def listStr(c: Column): Column =
+      concat(lit("["), array_join(transform(c, str(_)), ", "), lit("]"))
+    val lengthArr = filter(array(
+      optVio(phase23Gate &&
+          size(array_distinct(concat(indepCounts, depCounts))) > 1,
+        vio(2, lit(0), lit(0), lit(0), lit(0), lit(0),
+          concat(lit("Inconsistent length of 'values' list: independent_variables "),
+            listStr(indepCounts), lit(", dependent_variables "),
+            listStr(depCounts)))),
+      optVio(phase23Gate && size(indepCounts) > 0 && size(depCounts) === 0,
+        vio(2, lit(0), lit(0), lit(0), lit(1), lit(0),
+          concat(lit("Case of only independent_variables but no dependent_variables is not supported: independent_variables "),
+            listStr(indepCounts), lit(", dependent_variables "),
+            listStr(depCounts))))), nn(_))
+
+    // ---- phase 3: check_independent_variable_values -------------------
+    val firstBadIndep = array_position(
+      transform(col("indep"), v => v.getField("hasValues")), false)
+    val effIndep = when(!phase23Gate,
+        slice(col("indep"), lit(1), lit(0)))
+      .when(firstBadIndep === 0, col("indep"))
+      .otherwise(slice(col("indep"), lit(1), (firstBadIndep - 1).cast("int")))
+    val indepArr = flatten(transform(effIndep, (v, i) => {
+      val vals = v.getField("values")
+      val perVal = flatten(transform(vals, (x, j) => {
+        val bothNum = x.getField("hasLow") && x.getField("hasHigh") &&
+          x.getField("lowNum").isNotNull && x.getField("highNum").isNotNull
+        filter(array(
+          optVio(x.getField("hasValue") && x.getField("valueIsString") &&
+              x.getField("valueRaw").contains("-") &&
+              x.getField("valueRaw").rlike(RangeRe),
+            vio(3, i, j, lit(0), lit(0), lit(0),
+              concat(lit("independent_variable 'value' must not be a string range (use 'low' and 'high' to represent a range): '"),
+                x.getField("valueRaw"), lit("' in 'independent_variables["),
+                str(i), lit("].values["), str(j),
+                lit("].value' (expected: {'type': 'number or string (not a range)'})")))),
+          optVio(bothNum && isInf(x.getField("lowNum")) && isInf(x.getField("highNum")),
+            vio(3, i, j, lit(1), lit(0), lit(0),
+              concat(lit("independent_variable 'low' and 'high' must not both have infinite values: '"),
+                x.getField("lowRaw"), lit("' and '"), x.getField("highRaw"),
+                lit("' in 'independent_variables["), str(i), lit("].values["),
+                str(j), lit("]'"))))), nn(_))
+      }))
+      def parseable(x: Column) = x.getField("hasLow") && x.getField("hasHigh") &&
+        x.getField("lowNum").isNotNull && x.getField("highNum").isNotNull
+      val underIds = array_distinct(transform(
+        filter(vals, x => parseable(x) &&
+          isInf(x.getField("lowNum")) && !isInf(x.getField("highNum"))),
+        x => format_string("(%s, %.4e)", x.getField("lowRaw"), x.getField("highNum"))))
+      val overIds = array_distinct(transform(
+        filter(vals, x => parseable(x) &&
+          isInf(x.getField("highNum")) && !isInf(x.getField("lowNum"))),
+        x => format_string("(%.4e, %s)", x.getField("lowNum"), x.getField("highRaw"))))
+      val ouArr = filter(array(
+        optVio(size(underIds) > 1,
+          vio(3, i, size(vals), lit(0), lit(0), lit(0),
+            concat(lit("independent_variable must not have more than one underflow bin: "),
+              array_join(underIds, ", "), lit(" in 'independent_variables["),
+              str(i), lit("].values["), str(size(vals) - 1), lit("]'")))),
+        optVio(size(overIds) > 1,
+          vio(3, i, size(vals), lit(1), lit(0), lit(0),
+            concat(lit("independent_variable must not have more than one overflow bin: "),
+              array_join(overIds, ", "), lit(" in 'independent_variables["),
+              str(i), lit("].values["), str(size(vals) - 1), lit("]'"))))), nn(_))
+      concat(perVal, ouArr)
+    }))
+
+    val all = concat(emptyArr, indepSchemaArr, depSchemaArr, errValArr,
+      lengthArr, indepArr)
+    df.select(col("file"), array_sort(all).as("_v"))
+      .where(size(col("_v")) > 0)
+      .select(col("file"), posexplode(col("_v")))
+      .select(col("file"), col("pos").as("seq"),
+        col("col.phase").as("phase"), col("col.message").as("message"),
+        lit("error").as("level"))
+  }
+
+  /** Per-file verdict: valid ⇔ no violations (ref: __init__.py:124-132). */
+  def verdicts(df: DataFrame): DataFrame = {
+    val v = violations(df).groupBy(col("file"))
+      .agg(count(lit(1)).as("n_violations"))
+    df.select(col("file")).distinct()
+      .join(v, Seq("file"), "left")
+      .select(col("file"),
+        coalesce(col("n_violations"), lit(0L)).as("n_violations"),
+        (coalesce(col("n_violations"), lit(0L)) === 0L).as("pass"))
+  }
+}

@@ -1,0 +1,141 @@
+package graft.hep
+
+import HepModel._
+
+/** Translations of the reference fixture corpus
+  * (/root/reference/testsuite/test_data YAML files) into [[HepRow]]s — see
+  * FIXTURES.md §4. Raw-token strings are the Python-str renderings of the
+  * original YAML scalars so messages byte-match the reference goldens.
+  *
+  * `valid_data_with_percent` / `valid_data_with_zero_percent` are faithful
+  * but trimmed translations (fewer repeated errors of identical shape); the
+  * zero-percent case keeps enough variety ('0.0%', '-0.0%' asym pairs) to
+  * exercise every zero-detection path the original exercises.
+  */
+object HepFixtures {
+
+  private val stdErrs1 = Seq( // the recurring (0.45, ±0.4/-0.3, 0.34) triple
+    sym("0.45", "stat"), asym("0.4", "-0.3", "sys"), sym("0.34", "sys,lumi"))
+  private val stdErrs2 = Seq(
+    sym("0.4", "stat"), asym("0.42", "0.31", "sys"), sym("0.4", "sys,lumi"))
+
+  /** testsuite/test_data/valid_file.yaml — PASS */
+  val validFile: HepRow = row("valid_file.yaml",
+    indep = Seq(indepVar("SQRT(S)",
+      Seq(point("7000", isString = false), point("8000", isString = false)))),
+    dep = Seq(depVar("SIG(total)",
+      Seq(dval("6.7", stdErrs1), dval("5.7", stdErrs2)))))
+
+  /** testsuite/test_data/invalid_file.yaml — 5 golden errors
+    * (test_data_validator.py:100-104) */
+  val invalidFile: HepRow = row("invalid_file.yaml",
+    indep = Seq(indepVar("SQRT(S)", Seq(point("123 GEV", isString = true)))),
+    dep = Seq(depVar("SIG(total)", Seq(
+      dval("123 GEV", Seq(
+        sym("0.45", "stat"), asym("0.4", "-0.3", "sys"), sym("0.34", "sys,lumi"))),
+      dval("5.7", Seq(
+        sym("0.4", "0.443", labelIsString = false),
+        asym("0.42%", "0.31%", "sys"),
+        sym("2.300e-003f", "sys,lumi"),
+        asym("", "", "stat"),
+        sym("")))))))
+
+  /** testsuite/test_data/empty_file.yaml — "No data found in file." */
+  val emptyFile: HepRow = emptyRow("empty_file.yaml")
+
+  /** testsuite/test_data/file_with_zero_uncertainty.yaml —
+    * zero-uncertainty error at values[1] (test_data_validator.py:317) */
+  val zeroUncertainty: HepRow = row("file_with_zero_uncertainty.yaml",
+    indep = Seq(indepVar("SQRT(S)",
+      Seq(point("7000", isString = false), point("8000", isString = false)))),
+    dep = Seq(depVar("SIG(total)", Seq(
+      dval("6.7", stdErrs1),
+      dval("5.7", Seq(
+        sym("0.0", "stat"), asym("0.0", "0.0", "sys"), sym("0.0", "sys,lumi")))))))
+
+  /** testsuite/test_data/valid_data_with_percent.yaml (trimmed) — PASS;
+    * percent symerrors + an asymerror with empty plus leg only */
+  val percent: HepRow = row("valid_data_with_percent.yaml",
+    indep = Seq(indepVar("M(2JET)",
+      Seq(bin("0.26", Some(0.26), "0.31", Some(0.31))))),
+    dep = Seq(depVar("D2(SIG)/DM(2JET)/DYRAP*", Seq(
+      dval("777000.0", Seq(
+        sym("0.73%", "stat"), asym("", "-3.0%", "sys"), sym("0.4%", "sys"),
+        sym("1.2%", "sys"), sym("0.1%", "sys")))))))
+
+  /** testsuite/test_data/valid_data_with_zero_percent.yaml (trimmed) — FAIL;
+    * all-zero ('0.0%'/'-0.0%') errors (test_data_validator.py:330) */
+  val zeroPercent: HepRow = row("valid_data_with_zero_percent.yaml",
+    indep = Seq(indepVar("M(2JET)",
+      Seq(bin("0.26", Some(0.26), "0.31", Some(0.31))))),
+    dep = Seq(depVar("D2(SIG)/DM(2JET)/DYRAP*", Seq(
+      dval("777000.0", Seq(
+        sym("0.0%", "stat"), asym("0.0%", "-0.0%", "sys"), sym("0.0%", "sys"),
+        asym("-0.0%", "0.0%", "sys"), sym("0.0%", "sys")))))))
+
+  /** testsuite/test_data/file_with_inconsistent_values.yaml —
+    * "Inconsistent length ... [1], ... [2]" (test_data_validator.py:344) */
+  val inconsistent: HepRow = row("file_with_inconsistent_values.yaml",
+    indep = Seq(indepVar("SQRT(S)", Seq(point("7000", isString = false)))),
+    dep = Seq(depVar("SIG(total)",
+      Seq(dval("6.7", stdErrs1), dval("5.7", stdErrs2)))))
+
+  /** testsuite/test_data/binning_average.yaml — 2 indep vars × 40 bins, no
+    * dep vars; only-independent-variables error (test_data_validator.py:357) */
+  val binningAverage: HepRow = {
+    val bins = (0 until 40).map { b =>
+      bin(s"$b.0", Some(b.toDouble), s"${b + 1}.0", Some(b + 1.0))
+    }
+    row("binning_average.yaml",
+      indep = Seq(indepVar("XI(C)", bins), indepVar("Q**2", bins)),
+      dep = Seq.empty)
+  }
+
+  /** testsuite/test_data/invalid_missing_values.yaml — required 'values'
+    * schema error only; semantic checks abort (test_data_validator.py:394) */
+  val missingValues: HepRow = row("invalid_missing_values.yaml",
+    indep = Seq(indepVar("SQRT(S)",
+      Seq(point("7000", isString = false), point("8000", isString = false)))),
+    dep = Seq(depVar("SIG(total)", null)))
+
+  /** testsuite/test_data/invalid_independent_variables_file.yaml — the 10
+    * golden errors of test_data_validator.py:372-381 */
+  val invalidIndepVars: HepRow = {
+    def pointStr(v: String) = point(v, isString = true)
+    val values = Seq(
+      // low only / high only / string low+high (oneOf failures)
+      HepIndepVal(hasValue = false, null, valueIsString = false,
+        hasLow = true, "6000", lowIsNum = true, Some(6000d),
+        hasHigh = false, null, highIsNum = false, None,
+        "{'low': 6000}", Nil),
+      HepIndepVal(hasValue = false, null, valueIsString = false,
+        hasLow = false, null, lowIsNum = false, None,
+        hasHigh = true, "7000", highIsNum = true, Some(7000d),
+        "{'high': 7000}", Nil),
+      HepIndepVal(hasValue = false, null, valueIsString = false,
+        hasLow = true, "2.0.0", lowIsNum = false, None,
+        hasHigh = true, "7.0.0", highIsNum = false, None,
+        "{'high': '7.0.0', 'low': '2.0.0'}", Nil),
+      // string ranges
+      pointStr("800 - 1000"), pointStr("-5.3--2"),
+      pointStr("+2.3E5 -  +5E12"), pointStr("-1e-09 - -3.5e-08"),
+      // OK strings
+      pointStr("Mono-V overlap removal"), pointStr("-3.5"),
+      // both infinite
+      bin("-inf", Some(Double.NegativeInfinity), "inf", Some(Double.PositiveInfinity)),
+      // two underflow bins
+      bin("-inf", Some(Double.NegativeInfinity), "0.0", Some(0.0)),
+      bin("-inf", Some(Double.NegativeInfinity), "1.0", Some(1.0)),
+      // two overflow bins
+      bin("0.0", Some(0.0), "inf", Some(Double.PositiveInfinity)),
+      bin("1.0", Some(1.0), "inf", Some(Double.PositiveInfinity)))
+    val depVals = (0 until 14).map(i => dval(s"${5 + i}.7", stdErrs2))
+    row("invalid_independent_variables_file.yaml",
+      indep = Seq(indepVar("SQRT(S)", values)),
+      dep = Seq(depVar("SIG(total)", depVals)))
+  }
+
+  val all: Seq[HepRow] = Seq(validFile, invalidFile, emptyFile,
+    zeroUncertainty, percent, zeroPercent, inconsistent, binningAverage,
+    missingValues, invalidIndepVars)
+}

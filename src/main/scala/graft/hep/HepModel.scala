@@ -1,0 +1,98 @@
+package graft.hep
+
+/** Row model for HEPData-shaped nested tables (FIXTURES.md §3) — a direct
+  * translation of `schemas/1.1.1/data_schema.json` with enough raw-token
+  * metadata to reproduce the reference's byte-exact messages:
+  *
+  *  - `*Raw` fields carry the Python-str rendering of the original YAML
+  *    scalar (e.g. `-.inf` → "-inf", `6000` → "6000", `0.443` → "0.443").
+  *  - `*IsString`/`*IsNum` carry the original YAML type (the union
+  *    string|number can't be recovered from a string carrier alone).
+  *  - `instanceRepr` is the Python dict-repr of the original value mapping,
+  *    used verbatim in `oneOf` failure messages
+  *    (ref: hepdata_validator/__init__.py:174-179 message formatting).
+  *  - `extraKeys` carries unknown YAML keys so `additionalProperties: false`
+  *    violations are representable.
+  */
+final case class HepIndepVal(
+    hasValue: Boolean, valueRaw: String, valueIsString: Boolean,
+    hasLow: Boolean, lowRaw: String, lowIsNum: Boolean, lowNum: Option[Double],
+    hasHigh: Boolean, highRaw: String, highIsNum: Boolean, highNum: Option[Double],
+    instanceRepr: String, extraKeys: Seq[String])
+
+final case class HepIndepVar(
+    headerName: String, hasValues: Boolean, values: Seq[HepIndepVal])
+
+final case class HepErr(
+    hasSym: Boolean, symRaw: String,
+    hasAsym: Boolean, plusRaw: String, minusRaw: String,
+    hasLabel: Boolean, labelRaw: String, labelIsString: Boolean,
+    extraKeys: Seq[String])
+
+final case class HepDepVal(
+    hasValue: Boolean, valueRaw: String,
+    hasErrors: Boolean, errors: Seq[HepErr], extraKeys: Seq[String])
+
+final case class HepDepVar(
+    headerName: String, hasHeader: Boolean, hasValues: Boolean,
+    values: Seq[HepDepVal])
+
+/** One row per data-table document. `emptyDoc` mirrors a YAML file that
+  * parses to nothing (ref: data_file_validator.py:103-107). */
+final case class HepRow(
+    file: String,
+    emptyDoc: Boolean,
+    hasIndep: Boolean, indep: Seq[HepIndepVar],
+    hasDep: Boolean, dep: Seq[HepDepVar])
+
+object HepModel {
+  // convenience constructors for fixtures/tests
+  def sym(v: String, label: String = null, labelIsString: Boolean = true): HepErr =
+    HepErr(hasSym = true, symRaw = v, hasAsym = false, plusRaw = null,
+      minusRaw = null, hasLabel = label != null, labelRaw = label,
+      labelIsString = labelIsString, extraKeys = Nil)
+
+  def asym(plus: String, minus: String, label: String = null,
+      labelIsString: Boolean = true): HepErr =
+    HepErr(hasSym = false, symRaw = null, hasAsym = true, plusRaw = plus,
+      minusRaw = minus, hasLabel = label != null, labelRaw = label,
+      labelIsString = labelIsString, extraKeys = Nil)
+
+  def dval(v: String, errs: Seq[HepErr] = null, extraKeys: Seq[String] = Nil): HepDepVal =
+    HepDepVal(hasValue = v != null, valueRaw = v,
+      hasErrors = errs != null, errors = Option(errs).getOrElse(Nil),
+      extraKeys = extraKeys)
+
+  def point(v: String, isString: Boolean): HepIndepVal =
+    HepIndepVal(hasValue = true, valueRaw = v, valueIsString = isString,
+      hasLow = false, lowRaw = null, lowIsNum = false, lowNum = None,
+      hasHigh = false, highRaw = null, highIsNum = false, highNum = None,
+      instanceRepr = if (isString) s"{'value': '$v'}" else s"{'value': $v}",
+      extraKeys = Nil)
+
+  def bin(lowRaw: String, lowNum: Option[Double], highRaw: String,
+      highNum: Option[Double], isNum: Boolean = true): HepIndepVal =
+    HepIndepVal(hasValue = false, valueRaw = null, valueIsString = false,
+      hasLow = true, lowRaw = lowRaw, lowIsNum = isNum, lowNum = lowNum,
+      hasHigh = true, highRaw = highRaw, highIsNum = isNum, highNum = highNum,
+      instanceRepr =
+        if (isNum) s"{'low': $lowRaw, 'high': $highRaw}"
+        else s"{'low': '$lowRaw', 'high': '$highRaw'}",
+      extraKeys = Nil)
+
+  def indepVar(name: String, values: Seq[HepIndepVal]): HepIndepVar =
+    HepIndepVar(name, hasValues = values != null,
+      Option(values).getOrElse(Nil))
+
+  def depVar(name: String, values: Seq[HepDepVal]): HepDepVar =
+    HepDepVar(name, hasHeader = true, hasValues = values != null,
+      Option(values).getOrElse(Nil))
+
+  def row(file: String, indep: Seq[HepIndepVar], dep: Seq[HepDepVar]): HepRow =
+    HepRow(file, emptyDoc = false,
+      hasIndep = indep != null, Option(indep).getOrElse(Nil),
+      hasDep = dep != null, Option(dep).getOrElse(Nil))
+
+  def emptyRow(file: String): HepRow =
+    HepRow(file, emptyDoc = true, hasIndep = false, Nil, hasDep = false, Nil)
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.hep.{HepDataRules, HepFixtures, HepRow}
+
+/** Golden-message tests: every line below is copied verbatim from the
+  * reference suite (/root/reference/testsuite/test_data_validator.py) and
+  * must byte-match our violation output rendered as "<level> - <message>". */
+class HepDataRulesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def messagesFor(row: HepRow): Seq[String] = {
+    import spark.implicits._
+    HepDataRules.violations(Seq(row).toDS().toDF())
+      .orderBy("seq").collect()
+      .map(r => s"${r.getAs[String]("level")} - ${r.getAs[String]("message")}")
+      .toSeq
+  }
+
+  def verdictFor(row: HepRow): Boolean = {
+    import spark.implicits._
+    HepDataRules.verdicts(Seq(row).toDS().toDF())
+      .collect().head.getAs[Boolean]("pass")
+  }
+
+  test("valid_file.yaml passes with no messages") {
+    assert(messagesFor(HepFixtures.validFile) === Seq.empty)
+    assert(verdictFor(HepFixtures.validFile))
+  }
+
+  test("valid_data_with_percent.yaml passes") {
+    assert(messagesFor(HepFixtures.percent) === Seq.empty)
+  }
+
+  test("invalid_file.yaml: 5 golden errors in order (test_data_validator.py:100-104)") {
+    assert(messagesFor(HepFixtures.invalidFile) === Seq(
+      "error - 0.443 is not of type 'string' in 'dependent_variables[0].values[1].errors[0].label' (expected: {'type': 'string'})",
+      "error - Invalid error value 2.300e-003f: value must be a number (possibly ending in %) in 'dependent_variables.values[1].errors[2].symerror'",
+      "error - asymerror plus and minus cannot both be empty in 'dependent_variables.values[1].errors[3].asymerror'",
+      "error - symerror cannot be empty in 'dependent_variables.values[1].errors[4].symerror'",
+      "error - Inconsistent length of 'values' list: independent_variables [1], dependent_variables [2]"))
+  }
+
+  test("empty_file.yaml (test_data_validator.py:118)") {
+    assert(messagesFor(HepFixtures.emptyFile) ===
+      Seq("error - No data found in file."))
+  }
+
+  test("file_with_zero_uncertainty.yaml (test_data_validator.py:317)") {
+    assert(messagesFor(HepFixtures.zeroUncertainty) === Seq(
+      "error - Uncertainties should not all be zero in 'dependent_variables.values[1].errors'"))
+  }
+
+  test("valid_data_with_zero_percent.yaml (test_data_validator.py:330)") {
+    assert(messagesFor(HepFixtures.zeroPercent) === Seq(
+      "error - Uncertainties should not all be zero in 'dependent_variables.values[0].errors'"))
+  }
+
+  test("file_with_inconsistent_values.yaml (test_data_validator.py:344)") {
+    assert(messagesFor(HepFixtures.inconsistent) === Seq(
+      "error - Inconsistent length of 'values' list: independent_variables [1], dependent_variables [2]"))
+  }
+
+  test("binning_average.yaml (test_data_validator.py:357)") {
+    assert(messagesFor(HepFixtures.binningAverage) === Seq(
+      "error - Case of only independent_variables but no dependent_variables is not supported: independent_variables [40, 40], dependent_variables []"))
+  }
+
+  test("invalid_missing_values.yaml (test_data_validator.py:394)") {
+    assert(messagesFor(HepFixtures.missingValues) === Seq(
+      "error - 'values' is a required property in 'dependent_variables[0]' (expected: {'type': 'object', 'properties': {'header': {'type': 'object', 'properties': {'name': {'type': 'string'}, 'units': {'type': 'string'}}, 'required': ['name'], 'additionalProperties': False}, 'qualifiers': {'type': 'array', 'items': {'type': 'object', 'properties': {'name': {'type': 'string'}, 'value': {'type': ['string', 'number']}, 'units': {'type': 'string'}}, 'required': ['name', 'value'], 'additionalProperties': False}}, 'values': {'type': 'array', 'items': {'type': 'object', 'properties': {'value': {'type': ['string', 'number']}, 'errors': {'type': 'array', 'items': {'type': 'object', 'properties': {'symerror': {'type': ['number', 'string']}, 'asymerror': {'type': 'object', 'properties': {'minus': {'type': ['number', 'string']}, 'plus': {'type': ['number', 'string']}}, 'required': ['minus', 'plus'], 'additionalProperties': False}, 'label': {'type': 'string'}}, 'oneOf': [{'required': ['symerror']}, {'required': ['asymerror']}], 'additionalProperties': False}}}, 'required': ['value'], 'additionalProperties': False}}}, 'required': ['header', 'values'], 'additionalProperties': False})"))
+  }
+
+  test("invalid_independent_variables_file.yaml: 10 golden errors (test_data_validator.py:372-381)") {
+    val oneOf = "{'oneOf': [{'type': 'object', 'properties': {'value': {'type': ['string', 'number']}}, 'required': ['value'], 'additionalProperties': False}, {'type': 'object', 'properties': {'value': {'type': 'number'}, 'low': {'type': 'number'}, 'high': {'type': 'number'}}, 'required': ['low', 'high'], 'additionalProperties': False}]}"
+    assert(messagesFor(HepFixtures.invalidIndepVars) === Seq(
+      s"error - {'low': 6000} is not valid under any of the given schemas in 'independent_variables[0].values[0]' (expected: $oneOf)",
+      s"error - {'high': 7000} is not valid under any of the given schemas in 'independent_variables[0].values[1]' (expected: $oneOf)",
+      s"error - {'high': '7.0.0', 'low': '2.0.0'} is not valid under any of the given schemas in 'independent_variables[0].values[2]' (expected: $oneOf)",
+      "error - independent_variable 'value' must not be a string range (use 'low' and 'high' to represent a range): '800 - 1000' in 'independent_variables[0].values[3].value' (expected: {'type': 'number or string (not a range)'})",
+      "error - independent_variable 'value' must not be a string range (use 'low' and 'high' to represent a range): '-5.3--2' in 'independent_variables[0].values[4].value' (expected: {'type': 'number or string (not a range)'})",
+      "error - independent_variable 'value' must not be a string range (use 'low' and 'high' to represent a range): '+2.3E5 -  +5E12' in 'independent_variables[0].values[5].value' (expected: {'type': 'number or string (not a range)'})",
+      "error - independent_variable 'value' must not be a string range (use 'low' and 'high' to represent a range): '-1e-09 - -3.5e-08' in 'independent_variables[0].values[6].value' (expected: {'type': 'number or string (not a range)'})",
+      "error - independent_variable 'low' and 'high' must not both have infinite values: '-inf' and 'inf' in 'independent_variables[0].values[9]'",
+      "error - independent_variable must not have more than one underflow bin: (-inf, 0.0000e+00), (-inf, 1.0000e+00) in 'independent_variables[0].values[13]'",
+      "error - independent_variable must not have more than one overflow bin: (0.0000e+00, inf), (1.0000e+00, inf) in 'independent_variables[0].values[13]'"))
+  }
+
+  test("verdict matrix over the whole corpus") {
+    import spark.implicits._
+    val verdicts = HepDataRules.verdicts(HepFixtures.all.toDS().toDF())
+      .collect().map(r => r.getString(0) -> r.getAs[Boolean]("pass")).toMap
+    assert(verdicts === Map(
+      "valid_file.yaml" -> true,
+      "valid_data_with_percent.yaml" -> true,
+      "invalid_file.yaml" -> false,
+      "empty_file.yaml" -> false,
+      "file_with_zero_uncertainty.yaml" -> false,
+      "valid_data_with_zero_percent.yaml" -> false,
+      "file_with_inconsistent_values.yaml" -> false,
+      "binning_average.yaml" -> false,
+      "invalid_missing_values.yaml" -> false,
+      "invalid_independent_variables_file.yaml" -> false))
+  }
+}
