@@ -170,6 +170,11 @@ object SparkEntry {
       graft.hep.HepDataRules.violations(graft.hep.HepFixtures.all.toDS().toDF())
         .orderBy("file", "seq")
     }),
+    "sub_verdicts" -> ((s, dir) => {
+      import s.implicits._
+      graft.hep.SubmissionRules.verdicts(graft.hep.SubFixtures.all.toDS().toDF())
+        .orderBy("file")
+    }),
     // ---- training-pipeline: token counting + quality signals ---------------
     "text_quality" -> ((s, dir) => {
       val stop = Seq("the", "a", "of", "and", "to", "in")
@@ -265,6 +270,19 @@ object SparkEntry {
           ('valid_data_with_percent.yaml', CAST(0 AS BIGINT), true),
           ('valid_data_with_zero_percent.yaml', CAST(1 AS BIGINT), false),
           ('valid_file.yaml', CAST(0 AS BIGINT), true)
+        ) AS t(file, n_violations, pass) ORDER BY file""").replaceAll("\\s+", " ").trim,
+      "sub_verdicts" -> ("""
+        SELECT * FROM (VALUES
+          ('invalid_cmenergies.yaml', CAST(1 AS BIGINT), false),
+          ('invalid_submission.yaml', CAST(3 AS BIGINT), false),
+          ('invalid_submission_doi.yaml', CAST(6 AS BIGINT), false),
+          ('invalid_submission_duplicates.yaml', CAST(2 AS BIGINT), false),
+          ('invalid_submission_keyword.yaml', CAST(1 AS BIGINT), false),
+          ('invalid_submission_license.yaml', CAST(3 AS BIGINT), false),
+          ('invalid_submission_recid.yaml', CAST(4 AS BIGINT), false),
+          ('valid_file.yaml', CAST(1 AS BIGINT), false),
+          ('valid_submission_empty.yaml', CAST(0 AS BIGINT), true),
+          ('valid_submission_related.yaml', CAST(0 AS BIGINT), true)
         ) AS t(file, n_violations, pass) ORDER BY file""").replaceAll("\\s+", " ").trim,
       "text_quality" -> ("""
         SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -1,0 +1,168 @@
+package graft.hep
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Whole-submission orchestration
+  * (ref: hepdata_validator/full_submission_validator.py:70-234) re-expressed
+  * as joins over three tables instead of filesystem walks:
+  *
+  *  - `docs`   — table-metadata docs of submission.yaml (small),
+  *  - `files`  — the "directory listing" (name, size, parseable, parseError)
+  *               — at scale this is a catalog/partition listing,
+  *  - `dataViolations` — output of [[HepDataRules.violations]] keyed by file.
+  *
+  * The referential checks are the reference's filesystem lookups turned into
+  * broadcast anti-joins (SURVEY.md §2.5 J1-J3):
+  *  - J1 data_file existence (:304-316)  → docs ⟕̸ files
+  *  - J2 resource existence (:271-291)   → resources ⟕̸ files
+  *  - J3 unreferenced sweep (:200-228)   → files ⟕̸ included, with the
+  *    MacOS `._` companion hint via a self-join on the stripped name.
+  * F7 '/'-in-name checks (:279-301), F8 http-prefix skip (:273-279), and the
+  * S10 size cap (:318-325) are row-level predicates on the doc table.
+  */
+object FullSubmission {
+
+  val SizeLimit = 10485760L // ref: full_submission_validator.py:18
+
+  final case class Result(
+      messages: DataFrame, // (file, k0..k3, level, message) — sort by keys
+      validDataFiles: DataFrame) // (file) data files that fully validated
+
+  private def msg(file: Column, k0: Column, k1: Int, k2: Column, k3: Column,
+      level: String, m: Column): Column =
+    struct(file.as("file"), k0.cast("int").as("k0"), lit(k1).as("k1"),
+      k2.cast("int").as("k2"), k3.cast("int").as("k3"),
+      lit(level).as("level"), m.as("message"))
+
+  /** All orchestration messages, assuming the submission file itself already
+    * passed [[SubmissionRules]] (the reference short-circuits otherwise,
+    * :180-188 — see [[validateAll]]). */
+  def checks(
+      spark: SparkSession,
+      submissionPath: String,
+      docs: DataFrame, // (docIdx, name, hasDataFile, dataFile, resources)
+      files: DataFrame, // (fname, size, parseable, parseError)
+      dataViolations: DataFrame, // (file, seq, message)
+      sizeLimit: Long = SizeLimit): Result = {
+
+    val subPath = lit(submissionPath)
+    val fileNames = files.select(col("fname"))
+
+    // ---- F8/F7/J2: additional_resources checks (per resource) ----------
+    val resources = docs
+      .select(col("docIdx"), posexplode(col("resources")).as(Seq("resIdx", "loc")))
+      .where(!col("loc").startsWith("http"))
+    val resSlash = resources.where(col("loc").contains("/"))
+      .select(msg(subPath, col("docIdx"), 0, col("resIdx"), lit(0), "error",
+        concat(lit("Location of 'additional_resources' file '"), col("loc"),
+          lit("' should not contain '/'."))).as("m"))
+    val resMissing = resources.where(!col("loc").contains("/"))
+      .join(broadcast(fileNames), resources("loc") === fileNames("fname"), "left_anti")
+      .select(msg(subPath, col("docIdx"), 0, col("resIdx"), lit(1), "error",
+        concat(lit("Missing 'additional_resources' file '"), col("loc"),
+          lit("'."))).as("m"))
+
+    // ---- F7/J1/S10: data_file checks ------------------------------------
+    val dataDocs = docs.where(col("hasDataFile"))
+    val dfSlash = dataDocs.where(col("dataFile").contains("/"))
+      .select(msg(subPath, col("docIdx"), 1, lit(0), lit(0), "error",
+        concat(lit("Name of data_file '"), col("dataFile"),
+          lit("' should not contain '/'."))).as("m"))
+    val cleanDocs = dataDocs.where(!col("dataFile").contains("/"))
+    val dfMissing = cleanDocs
+      .join(broadcast(fileNames), cleanDocs("dataFile") === fileNames("fname"), "left_anti")
+      .select(msg(col("dataFile"), col("docIdx"), 1, lit(1), lit(0), "error",
+        concat(lit("Missing data_file '"), col("dataFile"), lit("'."))).as("m"))
+    val present = cleanDocs.join(broadcast(files),
+      cleanDocs("dataFile") === files("fname"))
+    val dfTooBig = present.where(col("size") > sizeLimit)
+      .select(msg(col("dataFile"), col("docIdx"), 1, lit(2), lit(0), "error",
+        concat(lit("Size of data_file '"), col("dataFile"), lit("' ("),
+          col("size"), lit(s" bytes) is bigger than the limit of $sizeLimit bytes. Try adding the file as an additional_resource instead."))).as("m"))
+    val dfUnparseable = present
+      .where(col("size") <= sizeLimit && !col("parseable"))
+      .select(msg(col("dataFile"), col("docIdx"), 1, lit(3), lit(0), "error",
+        concat(lit("There was a problem parsing the file:\n\t\t"),
+          col("parseError"))).as("m"))
+
+    // data-file validation verdict + message propagation
+    val checkable = present.where(col("size") <= sizeLimit && col("parseable"))
+      .select(col("docIdx"), col("dataFile"))
+    val vByFile = dataViolations.groupBy(col("file"))
+      .agg(collect_list(struct(col("seq"), col("message"))).as("vs"))
+    val invalid = checkable.join(broadcast(vByFile),
+      checkable("dataFile") === vByFile("file"))
+    val dfInvalidHdr = invalid
+      .select(msg(col("dataFile"), col("docIdx"), 1, lit(4), lit(-1), "error",
+        concat(col("dataFile"), lit(" is invalid HEPData YAML."))).as("m"))
+    val dfInvalidMsgs = invalid
+      .select(col("docIdx"), col("dataFile"), explode(col("vs")).as("v"))
+      .select(msg(col("dataFile"), col("docIdx"), 1, lit(4), col("v.seq"),
+        "error", col("v.message")).as("m"))
+
+    // ---- J3: unreferenced-file sweep + MacOS `._` hint -------------------
+    // included_files mirrors the reference exactly: submission.yaml, every
+    // non-http resource location (even '/'-containing ones — appended before
+    // the '/' check, :281), and every data_file WITHOUT '/' (:296-310)
+    val included = resources.select(col("loc").as("fname"))
+      .union(cleanDocs.select(col("dataFile").as("fname")))
+      .union(spark.createDataFrame(Seq(Tuple1(submissionPath))).toDF("fname"))
+      .distinct()
+    val unref = fileNames.join(broadcast(included), Seq("fname"), "left_anti")
+    val unrefMsgs = unref
+      .select(msg(col("fname"), lit(999999), 2, lit(0), lit(0), "error",
+        concat(col("fname"), lit(" is not referenced in the submission."))).as("m"))
+    val companions = unref.where(col("fname").startsWith("._"))
+      .join(broadcast(fileNames.select(col("fname").as("base"))),
+        expr("substring(fname, 3) = base"), "left_semi")
+    val hintMsgs = companions
+      .select(msg(col("fname"), lit(999999), 2, lit(0), lit(1), "hint",
+        concat(col("fname"),
+          lit(" might be a file created by tar on MacOS. Set COPYFILE_DISABLE=1 before creating the archive."))).as("m"))
+
+    val allMsgs = Seq(resSlash, resMissing, dfSlash, dfMissing, dfTooBig,
+      dfUnparseable, dfInvalidHdr, dfInvalidMsgs, unrefMsgs, hintMsgs)
+      .reduce(_ unionByName _)
+      .select(col("m.file"), col("m.k0"), col("m.k1"), col("m.k2"),
+        col("m.k3"), col("m.level"), col("m.message"))
+
+    // valid data files: referenced, no '/', exist, within size, parse, and
+    // zero data-validator violations (ref: valid_files DATA bookkeeping)
+    val validData = checkable.join(broadcast(vByFile),
+        checkable("dataFile") === vByFile("file"), "left_anti")
+      .select(col("dataFile").as("file"))
+
+    Result(allMsgs, validData)
+  }
+
+  /** Full pipeline with the reference's short-circuit: if submission.yaml
+    * fails [[SubmissionRules]], only its own messages (prefixed by the
+    * "is invalid HEPData YAML" header) are returned (:180-188). */
+  def validateAll(
+      spark: SparkSession,
+      sub: DataFrame, // single-row SubFile table
+      submissionPath: String,
+      docs: DataFrame,
+      files: DataFrame,
+      dataViolations: DataFrame,
+      sizeLimit: Long = SizeLimit): DataFrame = {
+    val subMsgs = SubmissionRules.violations(sub)
+    // driver-side branch on a tiny aggregate — same shape as the reference's
+    // short-circuit; the expensive distributed work only runs when needed
+    if (!subMsgs.isEmpty) {
+      val hdr = spark.createDataFrame(
+        Seq((submissionPath, -1, s"$submissionPath is invalid HEPData YAML.", "error")))
+        .toDF("file", "seq", "message", "level")
+      hdr.unionByName(subMsgs.select(lit(submissionPath).as("file"), col("seq"),
+        col("message"), col("level")))
+        .orderBy("seq")
+    } else {
+      checks(spark, submissionPath, docs, files, dataViolations, sizeLimit)
+        .messages
+        .orderBy("file", "k0", "k1", "k2", "k3")
+        .select(col("file"), monotonically_increasing_id().as("seq"),
+          col("message"), col("level"))
+    }
+  }
+}

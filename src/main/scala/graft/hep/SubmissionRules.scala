@@ -1,0 +1,295 @@
+package graft.hep
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** submission.yaml validation (ref: hepdata_validator/submission_file_validator.py)
+  * as one fused Catalyst projection per FILE row (docs are a nested array, so
+  * the reference's cross-doc sequential gating — cmenergies and duplicate
+  * collection run only while the file is error-free
+  * (submission_file_validator.py:92-95) — is plain array logic, no shuffle).
+  *
+  * Sort key = (docIdx, phase, propOrder, item, sub, subsub):
+  *  - per-doc schema errors (phase 0) in jsonschema instance order: property
+  *    index in the schema dict, then nested descent, then required (90),
+  *    then additionalProperties (95);
+  *  - cmenergies (phase 1; only the FIRST failing value of the first failing
+  *    doc fires — check_cmenergies raises, :156-178);
+  *  - file-level (docIdx=999999): has-submission-doc (:100-109), then
+  *    duplicate names then duplicate data_files in second-occurrence order
+  *    (:140-156).
+  */
+object SubmissionRules {
+
+  val KwItemRepr: String =
+    "{'type': 'object', 'properties': {'name': {'type': 'string', 'maxLength': 128, 'enum': ['cmenergies', 'observables', 'reactions', 'phrases']}, 'values': {'type': 'array', 'items': {'type': ['string', 'number'], 'maxLength': 128}}}, 'required': ['name', 'values'], 'additionalProperties': False}"
+  val KwValRepr = "{'type': ['string', 'number'], 'maxLength': 128}"
+  val NameRepr = "{'type': 'string', 'maxLength': 64}"
+  val LicStrRepr = "{'type': 'string', 'maxLength': 256}"
+  val StrRepr = "{'type': 'string'}"
+  val DoiItemRepr: String =
+    "{'type': 'string', 'maxLength': 128, 'pattern': '^10\\\\.17182/hepdata\\\\.\\\\d+\\\\.v\\\\d+/t\\\\d+$'}"
+  val DoisRepr: String =
+    "{'type': 'array', 'uniqueItems': True, 'items': " + DoiItemRepr + "}"
+  val RecItemRepr = "{'type': 'integer', 'minimum': 1}"
+  val RecidsRepr: String =
+    "{'type': 'array', 'uniqueItems': True, 'items': " + RecItemRepr + "}"
+  val CmeRepr =
+    "{'type': 'number or hyphen-separated range of numbers e.g. 1.7-4.7'}"
+
+  /** Python-repr'd regex as it appears in jsonschema messages. */
+  val DoiPatternRepr = "'^10\\\\.17182/hepdata\\\\.\\\\d+\\\\.v\\\\d+/t\\\\d+$'"
+  /** actual DOI pattern (submission_schema.json:51) */
+  val DoiPattern = "^10\\.17182/hepdata\\.\\d+\\.v\\d+/t\\d+$"
+  /** cmenergies range (submission_file_validator.py:172) */
+  val CmeRangeRe = "^\\d+\\.?\\d*-\\d+\\.?\\d*$"
+  private val PyFloatRe =
+    "^[+-]?((\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?|[iI][nN][fF]([iI][nN][iI][tT][yY])?|[nN][aA][nN])$"
+
+  private def vio(k0: Column, k1: Int, k2: Int, k3: Column, k4: Column,
+      k5: Column, msg: Column): Column =
+    struct(k0.cast("int").as("k0"), lit(k1).as("k1"), lit(k2).as("k2"),
+      k3.cast("int").as("k3"), k4.cast("int").as("k4"),
+      k5.cast("int").as("k5"), msg.as("message"))
+
+  private def optVio(cond: Column, v: Column): Column = when(cond, v)
+  private def istr(i: Column): Column = i.cast("string")
+  private def nn(a: Column): Column = a.isNotNull
+  private def pyFloatOk(c: Column): Column =
+    trim(c).rlike(PyFloatRe) && trim(c).try_cast("double").isNotNull
+
+  /** Python repr of a scalar: strings quoted, numbers bare. */
+  private def pyRepr(raw: Column, isString: Column): Column =
+    when(isString, concat(lit("'"), raw, lit("'"))).otherwise(raw)
+
+  private def listRepr(items: Column): Column =
+    concat(lit("["), array_join(transform(items,
+      x => pyRepr(x.getField("raw"), x.getField("isString"))), ", "), lit("]"))
+
+  private def hasDup(items: Column): Column =
+    size(array_distinct(transform(items,
+      x => struct(x.getField("raw"), x.getField("isString"))))) < size(items)
+
+  def violations(df: DataFrame): DataFrame = {
+    val docs = col("docs")
+    val isTableDoc = (doc: Column, d: Column) =>
+      !doc.getField("isEmpty") && (d > 0 || doc.getField("hasDataFile"))
+
+    // ---- phase 0: schema errors per doc (array<array<struct>>) ---------
+    val docErrs = transform(docs, (doc, d) => {
+      val tableErrs = {
+        // name (prop 0)
+        val nameErrs = filter(array(
+          optVio(doc.getField("hasName") && !doc.getField("nameIsString"),
+            vio(d, 0, 0, lit(0), lit(0), lit(0),
+              concat(doc.getField("nameRaw"),
+                lit(s" is not of type 'string' in 'name' (expected: $NameRepr)")))),
+          optVio(doc.getField("hasName") && doc.getField("nameIsString") &&
+              length(doc.getField("nameRaw")) > 64,
+            vio(d, 0, 0, lit(0), lit(1), lit(0),
+              concat(lit("'"), doc.getField("nameRaw"),
+                lit(s"' is too long in 'name' (expected: $NameRepr)"))))), nn(_))
+        // keywords (prop 3)
+        val kwErrs = flatten(transform(doc.getField("keywords"), (k, i) => {
+          val valErrs = filter(transform(k.getField("values"), (v, j) =>
+            optVio(v.getField("isString") && length(v.getField("raw")) > 128,
+              vio(d, 0, 3, i, lit(1), j,
+                concat(lit("'"), v.getField("raw"),
+                  lit("' is too long in 'keywords["), istr(i), lit("].values["),
+                  istr(j), lit(s"]' (expected: $KwValRepr)"))))), nn(_))
+          val nameEnum = filter(array(
+            optVio(k.getField("hasName") && !k.getField("name")
+                .isin("cmenergies", "observables", "reactions", "phrases"),
+              vio(d, 0, 3, i, lit(0), lit(0),
+                concat(lit("'"), k.getField("name"),
+                  lit("' is not one of ['cmenergies', 'observables', 'reactions', 'phrases'] in 'keywords["),
+                  istr(i), lit(s"].name' (expected: {'type': 'string', 'maxLength': 128, 'enum': ['cmenergies', 'observables', 'reactions', 'phrases']})"))))), nn(_))
+          val kwLevel = filter(array(
+            optVio(!k.getField("hasName"),
+              vio(d, 0, 3, i, lit(90), lit(0),
+                concat(lit("'name' is a required property in 'keywords["),
+                  istr(i), lit(s"]' (expected: $KwItemRepr)")))),
+            optVio(!k.getField("hasValues"),
+              vio(d, 0, 3, i, lit(90), lit(1),
+                concat(lit("'values' is a required property in 'keywords["),
+                  istr(i), lit(s"]' (expected: $KwItemRepr)")))),
+            optVio(size(k.getField("extraKeys")) > 0,
+              vio(d, 0, 3, i, lit(95), lit(0),
+                concat(lit("Additional properties are not allowed ("),
+                  array_join(transform(array_sort(k.getField("extraKeys")),
+                    ek => concat(lit("'"), ek, lit("'"))), ", "),
+                  when(size(k.getField("extraKeys")) === 1,
+                    lit(" was unexpected)")).otherwise(lit(" were unexpected)")),
+                  lit(" in 'keywords["), istr(i),
+                  lit(s"]' (expected: $KwItemRepr)"))))), nn(_))
+          concat(nameEnum, valErrs, kwLevel)
+        }))
+        // data_file (prop 4)
+        val dfErrs = filter(array(
+          optVio(doc.getField("hasDataFile") && !doc.getField("dataFileIsString"),
+            vio(d, 0, 4, lit(0), lit(0), lit(0),
+              concat(doc.getField("dataFileRaw"),
+                lit(s" is not of type 'string' in 'data_file' (expected: $StrRepr)"))))), nn(_))
+        // data_license (prop 6)
+        def licErr(f: Column, idx: Int, field: String, repr: String) =
+          optVio(doc.getField("hasLicense") && f.getField("present") &&
+              f.getField("isNull"),
+            vio(d, 0, 6, lit(idx), lit(0), lit(0),
+              lit(s"None is not of type 'string' in 'data_license.$field' (expected: $repr)")))
+        val licErrs = filter(array(
+          licErr(doc.getField("licName"), 0, "name", LicStrRepr),
+          licErr(doc.getField("licUrl"), 1, "url", LicStrRepr),
+          licErr(doc.getField("licDesc"), 2, "description", StrRepr)), nn(_))
+        // related_to_table_dois (prop 9)
+        val dois = doc.getField("dois")
+        val doiErrs = concat(
+          filter(array(
+            optVio(doc.getField("hasDois") && hasDup(dois),
+              vio(d, 0, 9, lit(-1), lit(0), lit(0),
+                concat(listRepr(dois),
+                  lit(s" has non-unique elements in 'related_to_table_dois' (expected: $DoisRepr)"))))), nn(_)),
+          filter(transform(dois, (x, j) => {
+            val typeBad = !x.getField("isString")
+            val tooLong = x.getField("isString") && length(x.getField("raw")) > 128
+            val patBad = x.getField("isString") &&
+              length(x.getField("raw")) <= 128 &&
+              !x.getField("raw").rlike(DoiPattern)
+            when(typeBad,
+              vio(d, 0, 9, j, lit(0), lit(0),
+                concat(x.getField("raw"),
+                  lit(" is not of type 'string' in 'related_to_table_dois["),
+                  istr(j), lit(s"]' (expected: $DoiItemRepr)"))))
+              .when(tooLong,
+                vio(d, 0, 9, j, lit(1), lit(0),
+                  concat(lit("'"), x.getField("raw"),
+                    lit("' is too long in 'related_to_table_dois["), istr(j),
+                    lit(s"]' (expected: $DoiItemRepr)"))))
+              .when(patBad,
+                vio(d, 0, 9, j, lit(2), lit(0),
+                  concat(lit("'"), x.getField("raw"),
+                    lit(s"' does not match $DoiPatternRepr in 'related_to_table_dois["),
+                    istr(j), lit(s"]' (expected: $DoiItemRepr)"))))
+          }), nn(_)))
+        // top-level required (90) + additionalProperties (95)
+        def reqErr(flag: Column, idx: Int, prop: String) =
+          optVio(!flag, vio(d, 0, 90, lit(idx), lit(0), lit(0),
+            lit(s"'$prop' is a required property")))
+        // NB: the failing subschema for top-level required/additionalProperties
+        // is the root schema (has '$schema') → no "(expected: …)" suffix and
+        // an empty path → no location (ref: __init__.py:174-179)
+        val topErrs = filter(array(
+          reqErr(doc.getField("hasName"), 0, "name"),
+          reqErr(doc.getField("hasDescription"), 1, "description"),
+          reqErr(doc.getField("hasKeywords"), 2, "keywords"),
+          reqErr(doc.getField("hasDataFile"), 3, "data_file"),
+          optVio(size(doc.getField("extraKeys")) > 0,
+            vio(d, 0, 95, lit(0), lit(0), lit(0),
+              concat(lit("Additional properties are not allowed ("),
+                array_join(transform(array_sort(doc.getField("extraKeys")),
+                  ek => concat(lit("'"), ek, lit("'"))), ", "),
+                when(size(doc.getField("extraKeys")) === 1,
+                  lit(" was unexpected)")).otherwise(lit(" were unexpected)")))))), nn(_))
+        concat(nameErrs, kwErrs, dfErrs, licErrs, doiErrs, topErrs)
+      }
+      val addInfoErrs = {
+        // related_to_hepdata_records (prop 7 of additional_info_schema)
+        val recids = doc.getField("recids")
+        concat(
+          filter(array(
+            optVio(doc.getField("hasRecids") && hasDup(recids),
+              vio(d, 0, 7, lit(-1), lit(0), lit(0),
+                concat(listRepr(recids),
+                  lit(s" has non-unique elements in 'related_to_hepdata_records' (expected: $RecidsRepr)"))))), nn(_)),
+          filter(transform(recids, (x, j) =>
+            when(!x.getField("isInt"),
+              vio(d, 0, 7, j, lit(0), lit(0),
+                concat(pyRepr(x.getField("raw"), x.getField("isString")),
+                  lit(" is not of type 'integer' in 'related_to_hepdata_records["),
+                  istr(j), lit(s"]' (expected: $RecItemRepr)"))))
+              .when(x.getField("isInt") && x.getField("num") < 1,
+                vio(d, 0, 7, j, lit(1), lit(0),
+                  concat(x.getField("raw"),
+                    lit(" is less than the minimum of 1 in 'related_to_hepdata_records["),
+                    istr(j), lit(s"]' (expected: $RecItemRepr)"))))), nn(_)))
+      }
+      when(doc.getField("isEmpty"), slice(addInfoErrs, 1, 0))
+        .when(isTableDoc(doc, d), tableErrs)
+        .otherwise(addInfoErrs)
+    })
+
+    // ---- sequential gating (ref :92-95) --------------------------------
+    val errCnts = transform(docErrs, a => size(a))
+    val firstErrDoc = coalesce(
+      array_position(transform(errCnts, c => c > 0), true), lit(0L))
+    val nDocs = size(docs).cast("long")
+    val schemaCut = when(firstErrDoc === 0, nDocs + 1).otherwise(firstErrDoc)
+
+    // first failing cmenergies value per doc: (kwIdx, valIdx, raw) or null
+    val cmeFails = transform(docs, (doc, d) => {
+      val perKw = flatten(transform(doc.getField("keywords"), (k, i) =>
+        filter(transform(k.getField("values"), (v, j) => {
+          val ok = pyFloatOk(v.getField("raw")) ||
+            (v.getField("raw").rlike(CmeRangeRe) && size(k.getField("values")) === 1)
+          when(k.getField("hasName") && k.getField("name") === "cmenergies" && !ok,
+            struct(i.cast("int").as("kw"), j.cast("int").as("v"),
+              v.getField("raw").as("raw")))
+        }), nn(_))))
+      when(isTableDoc(doc, d), get(perKw, lit(0)))
+    })
+    val firstCmeDoc = coalesce(
+      array_position(transform(cmeFails, nn(_)), true), lit(0L))
+    val cmeCut = when(firstCmeDoc === 0, nDocs + 1).otherwise(firstCmeDoc)
+
+    val cmeArr = filter(array(
+      optVio(firstCmeDoc > 0 && schemaCut > firstCmeDoc, {
+        val f = get(cmeFails, (firstCmeDoc - 1).cast("int"))
+        vio((firstCmeDoc - 1).cast("int"), 1, 0, lit(0), lit(0), lit(0),
+          concat(lit("Invalid value (in GeV) for cmenergies: '"),
+            f.getField("raw"), lit("' in 'keywords["),
+            istr(f.getField("kw")),
+            lit(s"].name.cmenergies' (expected: $CmeRepr)")))
+      })), nn(_))
+
+    // ---- file-level checks ---------------------------------------------
+    val hasSubmissionDoc = exists(transform(docs, (doc, d) =>
+      isTableDoc(doc, d)), x => x)
+    val hasSubArr = filter(array(
+      optVio(!hasSubmissionDoc,
+        vio(lit(999999), 0, 0, lit(0), lit(0), lit(0),
+          lit("There should be at least one document matching the submission schema.")))), nn(_))
+
+    // collection cutoff: docs processed while the file was error-free
+    val cutoff = least(schemaCut, cmeCut) - 1
+    def collected(field: String): Column =
+      transform(
+        filter(docs, (doc, d) => isTableDoc(doc, d) && d < cutoff.cast("int")),
+        doc => doc.getField(field))
+    // duplicates in second-occurrence order (ref :140-151)
+    def dupsOf(items: Column, k1: Int, label: String): Column =
+      filter(transform(items, (x, i) =>
+        optVio(size(filter(slice(items, lit(1), i), m => m === x)) === 1,
+          vio(lit(999999), k1, 0, i, lit(0), lit(0),
+            concat(lit(s"Duplicate table $label: "), x)))), nn(_))
+    val dupArr = concat(
+      dupsOf(collected("nameRaw"), 1, "name"),
+      dupsOf(collected("dataFileRaw"), 2, "data_file"))
+
+    val all = concat(flatten(docErrs), cmeArr, hasSubArr, dupArr)
+    df.select(col("file"), array_sort(all).as("_v"))
+      .where(size(col("_v")) > 0)
+      .select(col("file"), posexplode(col("_v")))
+      .select(col("file"), col("pos").as("seq"),
+        col("col.message").as("message"), lit("error").as("level"))
+  }
+
+  /** Per-file verdict: valid ⇔ no messages (ref: :115-116). */
+  def verdicts(df: DataFrame): DataFrame = {
+    val v = violations(df).groupBy(col("file"))
+      .agg(count(lit(1)).as("n_violations"))
+    df.select(col("file")).distinct()
+      .join(v, Seq("file"), "left")
+      .select(col("file"),
+        coalesce(col("n_violations"), lit(0L)).as("n_violations"),
+        (coalesce(col("n_violations"), lit(0L)) === 0L).as("pass"))
+  }
+}
