@@ -151,6 +151,19 @@ object SparkEntry {
           round(col("sum_value"), 2).as("sum_value"))
         .orderBy("day", "event_type")
     }),
+    // ---- §2.7 sketch + drift (KLL UDAF; no SQL oracle — rows-only check) ---
+    "drift_by_day" -> ((s, dir) => {
+      import s.implicits._
+      val ev = s.read.parquet(t(dir, "events"))
+        .withColumn("part_id", dayofmonth(col("ts")))
+      graft.engine.DriftPass.detect(s, ev, "value", "part_id")
+        .toDF().orderBy("partId")
+    }),
+    // ---- §2.4 A9 stats with HyperLogLog++ distinct (engine pass) -----------
+    "a9_stats_hll" -> ((s, dir) => {
+      graft.engine.Passes.columnStats(
+        s.read.parquet(t(dir, "documents")), docCols).orderBy("column")
+    }),
     // ---- training-pipeline: exact dedup ------------------------------------
     "dedup_exact" -> ((s, dir) => {
       s.read.parquet(t(dir, "documents"))

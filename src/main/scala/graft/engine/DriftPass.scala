@@ -1,0 +1,107 @@
+package graft.engine
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sketch.KllSketchAgg
+
+/** Distribution-drift detection (BASELINE.json north_star): per-partition KLL
+  * sketches of a numeric column, then driver-side two-sample KS and χ² tests
+  * of each partition against the pooled remainder.
+  *
+  * Execution shape: ONE hash aggregate over the scan (partial sketches merge
+  * map-side), then O(partitions) few-KB byte arrays on the driver — the only
+  * data that crosses the boundary. No second scan, no shuffle of raw values.
+  */
+object DriftPass {
+
+  final case class DriftReport(
+      partId: Int, n: Long,
+      ksStat: Double, ksThreshold: Double, ksDrifted: Boolean,
+      chi2Stat: Double, chi2Threshold: Double, chi2Drifted: Boolean)
+
+  /** Two-sample Kolmogorov–Smirnov statistic from two sketches: sup |F1-F2|
+    * evaluated on a merged quantile grid. */
+  def ksStatistic(a: KllDoublesSketch, b: KllDoublesSketch, grid: Int = 201): Double = {
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val ps = (0 to grid).map(_.toDouble / grid).toArray
+    val points = (a.getQuantiles(ps, INCLUSIVE) ++ b.getQuantiles(ps, INCLUSIVE)).distinct
+    points.map(x => math.abs(a.getRank(x, INCLUSIVE) - b.getRank(x, INCLUSIVE))).max
+  }
+
+  /** KS rejection threshold at alpha=0.05: c(α)·sqrt((n+m)/(n·m)), c=1.358. */
+  def ksThreshold(n: Long, m: Long, c: Double = 1.358): Double =
+    if (n == 0 || m == 0) Double.PositiveInfinity
+    else c * math.sqrt((n + m).toDouble / (n.toDouble * m.toDouble))
+
+  /** Two-sample χ² over `bins` equi-probable buckets of the pooled
+    * distribution. Returns (statistic, dof). */
+  def chi2Statistic(a: KllDoublesSketch, b: KllDoublesSketch, bins: Int = 10): (Double, Int) = {
+    if (a.isEmpty || b.isEmpty) return (0.0, bins - 1)
+    val pooled = KllDoublesSketch.newHeapInstance(200)
+    pooled.merge(KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(a.toByteArray)))
+    pooled.merge(KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(b.toByteArray)))
+    val edges = (1 until bins).map(i => pooled.getQuantile(i.toDouble / bins, INCLUSIVE))
+    def counts(s: KllDoublesSketch): Array[Double] = {
+      val ranks = edges.map(e => s.getRank(e, INCLUSIVE)).toArray
+      val cum = 0.0 +: ranks.toSeq :+ 1.0
+      cum.sliding(2).map { case Seq(lo, hi) => math.max(hi - lo, 0) * s.getN }.toArray
+    }
+    val o1 = counts(a); val o2 = counts(b)
+    val n1 = o1.sum; val n2 = o2.sum
+    var stat = 0.0; var dof = -1
+    for (i <- o1.indices) {
+      val tot = o1(i) + o2(i)
+      if (tot > 0) {
+        dof += 1
+        val e1 = n1 * tot / (n1 + n2)
+        val e2 = n2 * tot / (n1 + n2)
+        if (e1 > 0) stat += (o1(i) - e1) * (o1(i) - e1) / e1
+        if (e2 > 0) stat += (o2(i) - e2) * (o2(i) - e2) / e2
+      }
+    }
+    (stat, math.max(dof, 1))
+  }
+
+  /** χ² 0.999-quantile for dof 1..20 (two-sample bucket tests routinely churn
+    * at 0.95 on sketch approximation noise; 0.999 keeps false positives out
+    * while the drift profile's shift is orders of magnitude above it). */
+  private val chi2Crit999 = Array(0.0, 10.83, 13.82, 16.27, 18.47, 20.52,
+    22.46, 24.32, 26.12, 27.88, 29.59, 31.26, 32.91, 34.53, 36.12, 37.70,
+    39.25, 40.79, 42.31, 43.82, 45.31)
+  def chi2Threshold(dof: Int): Double =
+    chi2Crit999(math.min(math.max(dof, 1), 20))
+
+  /** Sketch `valueExpr` per partition in one aggregate pass, then test every
+    * partition against the pooled rest on the driver. */
+  def detect(
+      spark: SparkSession,
+      df: DataFrame,
+      valueExpr: String,
+      partitionCol: String = "part_id",
+      ksC: Double = 1.628 /* α=0.01; sketch rank error eats into α=0.05 margin */ ): Seq[DriftReport] = {
+    KllSketchAgg.register(spark)
+    val rows = df
+      .groupBy(col(partitionCol).cast("int").as("p"))
+      .agg(expr(s"kll_sketch(cast(($valueExpr) as double))").as("sk"),
+        count(lit(1)).as("n"))
+      .collect()
+    val sketches = rows.map(r =>
+      (r.getInt(0), KllSketchAgg.heapify(r.getAs[Array[Byte]]("sk")), r.getLong(2)))
+    sketches.sortBy(_._1).map { case (p, sk, n) =>
+      val rest = KllDoublesSketch.newHeapInstance(200)
+      sketches.filter(_._1 != p).foreach { case (_, o, _) =>
+        rest.merge(KllSketchAgg.heapify(o.toByteArray))
+      }
+      val m = rest.getN
+      val ks = ksStatistic(sk, rest)
+      val ksThr = ksThreshold(n, m, ksC)
+      val (c2, dof) = chi2Statistic(sk, rest)
+      val c2Thr = chi2Threshold(dof)
+      DriftReport(p, n, ks, ksThr, ks > ksThr, c2, c2Thr, c2 > c2Thr)
+    }.toSeq
+  }
+}
