@@ -188,6 +188,78 @@ object SparkEntry {
       graft.hep.SubmissionRules.verdicts(graft.hep.SubFixtures.all.toDS().toDF())
         .orderBy("file")
     }),
+    // ---- training-pipeline: near-dup dedup family (rows-only checks) -------
+    "dedup_minhash" -> ((s, dir) => {
+      graft.ops.Dedup.minhashDedup(
+          s.read.parquet(t(dir, "documents")), "doc_id", "text", threshold = 0.6)
+        .orderBy("id_a", "id_b")
+    }),
+    "dedup_simhash" -> ((s, dir) => {
+      graft.ops.Dedup.simhashDedup(
+          s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    }),
+    "dedup_ngram" -> ((s, dir) => {
+      graft.ops.Dedup.ngramJaccard(
+          s.read.parquet(t(dir, "documents")), "doc_id", "text", threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+    "dedup_embedding" -> ((s, dir) => {
+      graft.ops.Dedup.embeddingDedup(
+          s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
+          threshold = 0.99)
+        .orderBy("id_a", "id_b")
+    }),
+    // ---- similarity search: exact brute-force top-k (DuckDB oracle) --------
+    "knn_brute" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val queries = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.ops.Similarity.bruteForceTopK(e, "vec_id", "embedding",
+          queries, "qid", "qv", k = 5)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // ---- similarity search: multi-table LSH ANN (rows-only) ----------------
+    "ann_topk" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val queries = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.ops.Similarity.annTopK(e, "vec_id", "embedding",
+          queries, "qid", "qv", k = 10, nPlanes = 4, nTables = 8)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // ---- text analysis: language ID (DuckDB oracle) ------------------------
+    "lang_id" -> ((s, dir) => {
+      graft.ops.TextOps.languageId(s.read.parquet(t(dir, "documents")), "text")
+        .select(col("doc_id"), col("score_de"), col("score_en"),
+          col("score_es"), col("score_fr"), col("lang_pred"))
+        .orderBy("doc_id")
+    }),
+    // ---- text analysis: fingerprints + BPE-ish token counts (oracle) -------
+    "text_fingerprint" -> ((s, dir) => {
+      val df = s.read.parquet(t(dir, "documents"))
+      graft.ops.TextOps.tokenCounts(
+          graft.ops.TextOps.fingerprint(df, "text"), "text")
+        .select(col("doc_id"), col("content_md5"), col("ws_tokens"),
+          col("bpeish_tokens"))
+        .orderBy("doc_id")
+    }),
+    // ---- multimodal plumbing: batched decode of binary media (rows-only) ---
+    "multimodal_decode" -> ((s, dir) => {
+      val media = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id").as("id"),
+          concat(lit("HDR0"), sha2(col("text").cast("binary"), 256))
+            .cast("binary").as("media"))
+      graft.ops.Multimodal.decodeAndFeaturize(media, "id", "media")
+        .toDF()
+        .select(col("id"), col("meta.format"), col("meta.width"),
+          col("meta.height"), col("meta.nBytes"), col("meta.valid"),
+          round(element_at(col("features"), 1), 4).as("f0"))
+        .orderBy("id")
+    }),
     // ---- training-pipeline: token counting + quality signals ---------------
     "text_quality" -> ((s, dir) => {
       val stop = Seq("the", "a", "of", "and", "to", "in")
@@ -297,6 +369,38 @@ object SparkEntry {
           ('valid_submission_empty.yaml', CAST(0 AS BIGINT), true),
           ('valid_submission_related.yaml', CAST(0 AS BIGINT), true)
         ) AS t(file, n_violations, pass) ORDER BY file""").replaceAll("\\s+", " ").trim,
+      "knn_brute" -> ("""
+        SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id,
+                 round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                              CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(c.embedding AS DOUBLE[])) DESC,
+                            c.vec_id) AS rank
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        WHERE rank <= 5 ORDER BY query_id, rank""").replaceAll("\\s+", " ").trim,
+      "lang_id" -> ("""
+        SELECT doc_id, s_de AS score_de, s_en AS score_en, s_es AS score_es,
+               s_fr AS score_fr,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                    WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM (SELECT doc_id,
+          CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','den'))) AS BIGINT) AS s_de,
+          CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x IN ('the','and','of','to','in','is','that','for','with','a'))) AS BIGINT) AS s_en,
+          CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x IN ('el','la','los','y','es','no','por','para','una','con'))) AS BIGINT) AS s_es,
+          CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x IN ('le','la','les','et','est','pas','pour','dans','une','que'))) AS BIGINT) AS s_fr
+          FROM documents) ORDER BY doc_id""").replaceAll("\\s+", " ").trim,
+      "text_fingerprint" -> ("""
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_md5,
+               CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens
+        FROM documents ORDER BY doc_id""").replaceAll("\\s+", " ").trim,
       "text_quality" -> ("""
         SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop,

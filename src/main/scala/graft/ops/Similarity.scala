@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * - [[bruteForceTopK]] is the exact baseline: broadcast the (small) query
+  *   set, one scan of the corpus, per-row dot products via zip_with/aggregate
+  *   (codegen'd), top-k via window rank. Corpus-side shuffle is only the
+  *   k·|queries| result rows.
+  * - [[hyperplaneBuckets]] is the scale path (LSH/IVF-style): deterministic
+  *   seeded random hyperplanes → sign-bit bucket id; ANN probes compare only
+  *   within the query's bucket, turning 10^12-row scans into bucket lookups.
+  */
+object Similarity {
+
+  /** dot(a, b) over array<float/double> columns — zip_with + aggregate,
+    * no UDF. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbours for each query vector.
+    * Output: (query_id, vec_id, cosine, rank), rank 1..k. */
+  def bruteForceTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int = 10): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+    val c = corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("cv"))
+    val scored = c.join(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic seeded hyperplanes (dim × planes), generated driver-side
+    * once and shipped as a literal — no data-dependent state. */
+  def planes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** (id, bucket) — sign-bit LSH bucket of each vector. */
+  def hyperplaneBuckets(df: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int = 12, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val ps = planes(dim, nPlanes, seed)
+    val bucket = ps.zipWithIndex.map { case (p, i) =>
+      when(dot(col(vecCol), typedLit(p)) > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    df.select(col(idCol).as("id"), bucket.as("bucket"))
+  }
+
+  /** Multi-table LSH bucket ids: (id, table, bucket) — one row per table,
+    * each table using independently-seeded hyperplanes. Standard LSH recall
+    * amplification: a true neighbour is found if it collides in ANY table. */
+  def lshTables(df: DataFrame, idCol: String, vecCol: String,
+      nTables: Int, planesPerTable: Int, dim: Int, seed: Long = 42L): DataFrame = {
+    val bucketCols = (0 until nTables).map { t =>
+      val ps = planes(dim, planesPerTable, seed + t)
+      ps.zipWithIndex.map { case (p, i) =>
+        when(dot(col(vecCol), typedLit(p)) > 0, lit(1L << i)).otherwise(0L)
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }
+    df.select(col(idCol).as("id"), posexplode(array(bucketCols: _*)))
+      .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
+  }
+
+  /** ANN top-k via multi-table hyperplane LSH: candidates are corpus vectors
+    * sharing a (table, bucket) cell with the query in any of `nTables`
+    * tables, then exact cosine within candidates. Compared-pair count drops
+    * by ~2^planesPerTable/nTables vs brute force. */
+  def annTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int = 10, nPlanes: Int = 4, dim: Int = 64,
+      nTables: Int = 8): DataFrame = {
+    val cb = lshTables(corpus, corpusId, corpusVec, nTables, nPlanes, dim)
+      .withColumnRenamed("id", "vec_id")
+      .join(corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("cv")), Seq("vec_id"))
+    val qb = lshTables(queries, queryId, queryVec, nTables, nPlanes, dim)
+      .withColumnRenamed("id", "query_id")
+      .join(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv")), Seq("query_id"))
+    val scored = cb.join(broadcast(qb), Seq("table", "bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (stopword n-gram heuristic), quality scoring, token counting (whitespace
+  * and a BPE-ish regex), and document fingerprinting (rolling hash +
+  * normalized content hash). All single-scan column expressions.
+  */
+object TextOps {
+
+  /** Tiny per-language function-word lists for the heuristic language ID.
+    * Deterministic, embedded; at scale this would be a broadcast dimension. */
+  val StopwordSets: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "dans", "une", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "por", "para", "una", "con"))
+
+  private def toks(textCol: Column): Column = split(lower(textCol), "\\s+")
+
+  /** Per-language stopword-hit scores + argmax prediction.
+    * Adds score_<lang> columns and `lang_pred` (tie-break: lexicographic). */
+  def languageId(df: DataFrame, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    val scored = StopwordSets.toSeq.sortBy(_._1).foldLeft(df) { case (d, (lang, words)) =>
+      d.withColumn(s"score_$lang",
+        size(filter(t, x => x.isin(words.map(lit): _*))).cast("long"))
+    }
+    val langs = StopwordSets.keys.toSeq.sorted
+    val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
+      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    scored.withColumn("lang_pred",
+      when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und")))
+  }
+
+  /** Quality signals: token count, mean token length, stopword ratio,
+    * punctuation ratio, digit ratio, uppercase ratio, repetition (distinct
+    * token ratio) — the usual pre-training filters. */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val t = toks(c)
+    val nTok = size(t).cast("double")
+    val en = StopwordSets("en")
+    df.withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("mean_token_len",
+        (length(regexp_replace(c, "\\s+", "")).cast("double") / nTok))
+      .withColumn("stopword_ratio",
+        size(filter(t, x => x.isin(en.map(lit): _*))).cast("double") / nTok)
+      .withColumn("punct_ratio",
+        (length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))).cast("double")
+          / greatest(length(c).cast("double"), lit(1.0)))
+      .withColumn("digit_ratio",
+        (length(c) - length(regexp_replace(c, "[0-9]", ""))).cast("double")
+          / greatest(length(c).cast("double"), lit(1.0)))
+      .withColumn("distinct_token_ratio",
+        size(array_distinct(t)).cast("double") / nTok)
+      .withColumn("quality_pass",
+        col("n_tokens") >= 5 && col("mean_token_len").between(2.0, 12.0) &&
+          col("distinct_token_ratio") >= 0.3)
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation — a cheap proxy for
+    * subword tokenizers' pre-tokenization). */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("ws_tokens", size(split(col(textCol), "\\s+")).cast("long"))
+      .withColumn("bpeish_tokens",
+        size(regexp_extract_all(col(textCol),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
+
+  /** Rolling hash over tokens (order-sensitive fingerprint; xxhash64
+    * chaining — overflow-free under ANSI mode) plus a normalized content
+    * hash (md5 of lowercased, space-collapsed text). */
+  def fingerprint(df: DataFrame, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    df.withColumn("rolling_hash",
+        aggregate(t, lit(1125899906842597L),
+          (acc, x) => xxhash64(acc, x)))
+      .withColumn("content_md5",
+        md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ").cast("binary")))
+  }
+}

@@ -1,0 +1,151 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  /** documents plus near-duplicates: doc_id+10000 gets the same text with one
+    * word appended (high Jaccard), for ids 0..9. */
+  lazy val docsWithNearDups = {
+    val dups = docs.where(col("doc_id") < 10)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(dups)
+  }
+
+  test("exact dedup finds the sf0.1 duplicate groups") {
+    val d = Dedup.exact(
+      spark.read.parquet("/root/testdata/sf0.1/documents.parquet"),
+      "doc_id", "text")
+    val Seq(groups, extra) = d.agg(count(lit(1)), sum(col("cnt") - 1))
+      .collect().map(r => Seq(r.getLong(0), r.getLong(1))).head
+    assert(extra === 5000L - 4992L) // count - distinct from the driver table
+    assert(groups > 0 && groups <= extra)
+  }
+
+  test("minhash LSH finds all planted near-dup pairs, none below threshold") {
+    val pairs = Dedup.minhashDedup(docsWithNearDups, "doc_id", "text",
+      threshold = 0.6).collect()
+    (0 until 10).foreach { i =>
+      assert(pairs.exists(p => p.getLong(0) == i && p.getLong(1) == i + 10000),
+        s"missing planted pair $i")
+    }
+    assert(pairs.forall(_.getDouble(2) >= 0.6))
+  }
+
+  test("simhash near-dup finds planted pairs within hamming 3") {
+    val pairs = Dedup.simhashDedup(docsWithNearDups, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0 until 10).count(i => pairs.contains((i.toLong, i + 10000L)))
+    assert(found >= 8, s"only $found/10 planted simhash pairs found")
+  }
+
+  test("ngram Jaccard finds single-char-edit near-dups") {
+    val dups = docs.where(col("doc_id") < 10)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit("!")).as("text"))
+    val df = docs.select(col("doc_id"), col("text")).unionByName(dups)
+    val pairs = Dedup.ngramJaccard(df, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 10).foreach(i => assert(pairs.contains((i.toLong, i + 10000L))))
+  }
+
+  test("brute-force cosine top-k: self-duplicate ranks first") {
+    val planted = emb.where(col("vec_id") < 5)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(planted)
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val top = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qv", k = 3).collect()
+    (0 until 5).foreach { i =>
+      val first = top.filter(r => r.getLong(0) == i && r.getInt(3) == 1).head
+      assert(first.getLong(1) === i + 10000L)
+      assert(math.abs(first.getDouble(2) - 1.0) < 1e-6)
+    }
+  }
+
+  test("ANN (hyperplane LSH) recall@10 against brute force") {
+    val queries = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = asSet(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 10))
+    val ann = asSet(Similarity.annTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 10, nPlanes = 4, nTables = 8))
+    val recall = exact.intersect(ann).size.toDouble / exact.size
+    assert(recall >= 0.4, s"ANN recall $recall too low")
+  }
+
+  test("embedding near-dup via LSH buckets finds planted duplicates") {
+    val planted = emb.where(col("vec_id") < 5)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    val pairs = Dedup.embeddingDedup(emb.unionByName(planted), "vec_id",
+      "embedding", threshold = 0.999).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach(i => assert(pairs.contains((i.toLong, i + 10000L))))
+  }
+
+  test("language ID: stopword heuristic classifies obvious sentences") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat is in the house and the dog is with a friend"),
+      (2L, "der hund ist nicht mit der katze und das haus ist zu den"),
+      (3L, "le chat est dans la maison et les chiens pour une que pas"),
+      (4L, "el gato es la casa y los perros no por para una con"),
+      (5L, "zzz qqq www")).toDF("id", "text")
+    val out = TextOps.languageId(df, "text").select("id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "und"))
+  }
+
+  test("quality score + token counts + fingerprint are deterministic and sane") {
+    val q = TextOps.qualityScore(docs, "text")
+    assert(q.where(!col("quality_pass")).count() < docs.count())
+    val t = TextOps.tokenCounts(docs, "text")
+      .select(min(col("ws_tokens")), max(col("bpeish_tokens"))).collect()(0)
+    assert(t.getLong(0) > 0 && t.getLong(1) > 0)
+    val f1 = TextOps.fingerprint(docs, "text").select("rolling_hash", "content_md5")
+      .orderBy("rolling_hash").collect()
+    val f2 = TextOps.fingerprint(docs, "text").select("rolling_hash", "content_md5")
+      .orderBy("rolling_hash").collect()
+    assert(f1.sameElements(f2))
+    // rolling hash is order-sensitive, content_md5 whitespace-insensitive
+    import spark.implicits._
+    val pair = TextOps.fingerprint(
+      Seq((1L, "a b c"), (2L, "c b a"), (3L, " a  b c ")).toDF("id", "text"), "text")
+      .orderBy("id").collect()
+    assert(pair(0).getAs[Long]("rolling_hash") !== pair(1).getAs[Long]("rolling_hash"))
+    assert(pair(0).getAs[String]("content_md5") === pair(2).getAs[String]("content_md5"))
+  }
+
+  test("multimodal: batched decode keeps schema, determinism and partitioning") {
+    import spark.implicits._
+    val media = spark.range(200).select(col("id"),
+      col("id").cast("string").as("s"))
+      .select(col("id"), concat(lit("HDR0"), sha2(col("s"), 256)).cast("binary").as("media"))
+      .repartition(4)
+    val decoded = Multimodal.decodeAndFeaturize(media, "id", "media")
+    // partition-local: exactly the one explicit repartition Exchange, no more
+    val plan = decoded.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size === 1, plan)
+    val rows = decoded.collect()
+    assert(rows.length === 200)
+    assert(rows.forall(_.meta.valid))
+    assert(rows.forall(_.features.length === 8))
+    val again = Multimodal.decodeAndFeaturize(media, "id", "media").collect()
+    assert(rows.map(_.features.toSeq).toSet === again.map(_.features.toSeq).toSet)
+    // frame sampling plumbing
+    val frames = Multimodal.sampleFrames(media, "media", frameBytes = 16, stride = 2)
+      .select(size(col("frames"))).collect()
+    assert(frames.forall(_.getInt(0) > 0))
+  }
+}
