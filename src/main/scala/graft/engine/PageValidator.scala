@@ -48,7 +48,10 @@ object PageValidator {
       pages: DataFrame,
       langDim: DataFrame,
       expectedText: DataFrame,
-      salted: Boolean = true,
+      // plain hash agg: map-side combine already collapses hot keys for
+      // count state; the explicit salted path (one extra exchange) is for
+      // aggregates whose per-key state partial agg can't reduce
+      salted: Boolean = false,
       htmlMaxBytes: Long = 10485760L): Result = {
     // the row-level lang enum is replaced by the referential join pass
     val spec = pageSpec(Nil, htmlMaxBytes).copy(

@@ -51,10 +51,13 @@ object Passes {
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > 1)
 
-  /** Skew-safe duplicate detection: explicit two-phase aggregation with the
-    * input partition id as salt. Phase 1 reduces each hot key to ≤ P partial
-    * counts before the shuffle; phase 2 merges. Exact same result as
-    * [[duplicates]] for any input. */
+  /** Explicit two-phase salted aggregation (input partition id as salt).
+    * NB: for constant-size state like count, Spark's map-side partial
+    * aggregation in [[duplicates]] IS phase-1 salting already — this variant
+    * spells it out and adds one exchange, and is the right shape only when
+    * partial aggregation is defeated (large/non-mergeable per-key state,
+    * e.g. collecting duplicate row ids). Exact same result as
+    * [[duplicates]] for any input; kept for that fallback and for tests. */
   def duplicatesSalted(df: DataFrame, key: String): DataFrame =
     df.where(col(key).isNotNull)
       .groupBy(col(key), spark_partition_id().as("_salt"))

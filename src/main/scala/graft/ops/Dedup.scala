@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Identity on an array column that references it twice (slice + size).
+    * CollapseProject only inlines a producer alias into a consumer when it's
+    * referenced once or cheap; lambda-iterated references (transform over a
+    * column) count as one reference, so without this barrier an expensive
+    * array expression gets re-evaluated once per lambda iteration after the
+    * projections collapse (e.g. the 32-hash MinHash signature recomputing
+    * the shingle set 32×, which recomputes split() ~90× each). */
+  private def pin(c: Column): Column = slice(c, lit(1), size(c))
+
   /** Exact duplicates by content hash: groups with >1 member, keeper = min id.
     * Two-phase partial agg comes free from Spark's hash aggregate. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -40,11 +49,17 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
-    val sig = minhashSignature(shingles(split(col(textCol), "\\s+"), shingleK), numHashes)
-    df.select(col(idCol).as("id"), sig.as("sig"))
+    // stage-wise projections with pin() barriers: tokens → shingles →
+    // signature → bands, each computed exactly once per row
+    df.select(col(idCol).as("id"), split(col(textCol), "\\s+").as("toks"))
+      .select(col("id"),
+        // `toks` is referenced several times inside shingles() so the
+        // projection already can't collapse; no pin needed here
+        array_distinct(shingles(col("toks"), shingleK)).as("sh"))
+      .select(col("id"), minhashSignature(pin(col("sh")), numHashes).as("sig"))
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(array_join(slice(col("sig"), b * r + 1, lit(r)), ",")))))
+          b => xxhash64(array_join(slice(pin(col("sig")), b * r + 1, lit(r)), ",")))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
   }
 
@@ -82,21 +97,26 @@ object Dedup {
     * bits at plan-build time — no UDF. (At extreme scale a single custom
     * Expression computing all bits in one array pass would cut the 64×
     * re-traversal; unnecessary at current corpus sizes.) */
-  def simhash(tokens: Column): Column = {
-    val hashes = transform(tokens, t => xxhash64(t))
+  def simhash(tokens: Column): Column = simhashOfHashes(transform(tokens, t => xxhash64(t)))
+
+  /** SimHash from a pre-projected token-hash array column — callers should
+    * materialize the hashes in their own projection first so the 64 bit
+    * expressions don't each re-hash the token array. */
+  def simhashOfHashes(hashes: Column): Column =
     (0 until 64).map { i =>
       val bitSum = aggregate(hashes, lit(0),
         (s, h) => s + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
       when(bitSum > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-  }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
     * from 4×16-bit chunk equality (guarantees recall for distance ≤ 3). */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val withSig = df.select(col(idCol).as("id"),
-      simhash(split(col(textCol), "\\s+")).as("sig"))
+    val withSig = df
+      .select(col(idCol).as("id"),
+        transform(split(col(textCol), "\\s+"), t => xxhash64(t)).as("th"))
+      .select(col("id"), simhashOfHashes(col("th")).as("sig")) // 64 refs — no collapse
     val chunked = withSig.select(col("id"), col("sig"), posexplode(
         array((0 until 4).map(c =>
           shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*)))
