@@ -49,14 +49,13 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
-    // stage-wise projections with pin() barriers: tokens → shingles →
-    // signature → bands, each computed exactly once per row
+    // signature via the native one-pass Catalyst expression (sketch
+    // .MinHashSig); the pure-Column formulation (shingles+minhashSignature)
+    // is kept above as the spec of what it computes
+    graft.sketch.SignatureExprs.register(df.sparkSession)
     df.select(col(idCol).as("id"), split(col(textCol), "\\s+").as("toks"))
       .select(col("id"),
-        // `toks` is referenced several times inside shingles() so the
-        // projection already can't collapse; no pin needed here
-        array_distinct(shingles(col("toks"), shingleK)).as("sh"))
-      .select(col("id"), minhashSignature(pin(col("sh")), numHashes).as("sig"))
+        expr(s"minhash_sig(toks, $numHashes, $shingleK)").as("sig"))
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(array_join(slice(pin(col("sig")), b * r + 1, lit(r)), ",")))))
@@ -113,10 +112,10 @@ object Dedup {
     * from 4×16-bit chunk equality (guarantees recall for distance ≤ 3). */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    graft.sketch.SignatureExprs.register(df.sparkSession)
     val withSig = df
-      .select(col(idCol).as("id"),
-        transform(split(col(textCol), "\\s+"), t => xxhash64(t)).as("th"))
-      .select(col("id"), simhashOfHashes(col("th")).as("sig")) // 64 refs — no collapse
+      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("toks"))
+      .select(col("id"), expr("simhash_sig(toks)").as("sig"))
     val chunked = withSig.select(col("id"), col("sig"), posexplode(
         array((0 until 4).map(c =>
           shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*)))
