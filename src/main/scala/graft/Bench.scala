@@ -42,19 +42,22 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
-  /** One full validation pass over the staged pages table. */
+  /** One full validation pass over the staged pages table. Column stats ride
+    * along as observed metrics on the violations action (zero extra scan);
+    * verdicts are derived from the persisted violations, so the whole
+    * pipeline is ONE heavy job + one tiny aggregation. */
   private def validatePipeline(spark: SparkSession, dir: String): Unit = {
     val pages = spark.read.parquet(s"$dir/pages")
     val expected = spark.read.parquet(s"$dir/expected")
+    val obs = org.apache.spark.sql.Observation()
     val res = graft.engine.PageValidator.validate(
       spark, pages, graft.testdata.PagesGen.langDim(spark), expected,
-      htmlMaxBytes = 10000)
-    // violations are written once and verdicts derived from them — don't
-    // recompute the uniqueness/invariant joins for the verdict aggregation
+      htmlMaxBytes = 10000, observation = Some(obs),
+      observeCols = Seq("url", "warc_ts", "text", "lang", "part_id"))
     res.violations.persist()
     noop(res.violations)
     noop(res.verdicts)
-    noop(res.stats)
+    require(obs.get("n_rows").asInstanceOf[Long] > 0)
     res.violations.unpersist()
   }
 
@@ -89,7 +92,7 @@ object Bench {
     spark.stop()
 
     // best-of-N to shed JIT/GC noise; runs alternate so drift can't bias one side
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     def measure(k: Int): Double = {
       System.gc() // drop the previous session's shuffle/cache garbage first
       spark = session(k)

@@ -52,11 +52,22 @@ object PageValidator {
       // count state; the explicit salted path (one extra exchange) is for
       // aggregates whose per-key state partial agg can't reduce
       salted: Boolean = false,
-      htmlMaxBytes: Long = 10485760L): Result = {
+      htmlMaxBytes: Long = 10485760L,
+      /** optional zero-extra-pass metrics: observed on the row-rule branch
+        * (which every input row flows through), readable via
+        * `observation.get` after the first action on `violations`. */
+      observation: Option[org.apache.spark.sql.Observation] = None,
+      observeCols: Seq[String] = Seq("url", "text", "lang")): Result = {
     // the row-level lang enum is replaced by the referential join pass
     val spec = pageSpec(Nil, htmlMaxBytes).copy(
       rules = pageSpec(Nil, htmlMaxBytes).rules.filterNot(_.id.startsWith("enum:")))
-    val rowViolations = ConstraintCompiler.violations(spec, pages)
+    val observedPages = observation match {
+      case Some(obs) =>
+        val aggs = Passes.statsObserveAggs(observeCols)
+        pages.observe(obs, aggs.head, aggs.tail: _*)
+      case None => pages
+    }
+    val rowViolations = ConstraintCompiler.violations(spec, observedPages)
 
     val dups = (if (salted) Passes.duplicatesSalted(pages, "url")
                 else Passes.duplicates(pages, "url"))

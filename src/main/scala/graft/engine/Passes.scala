@@ -42,6 +42,15 @@ object Passes {
         col("min_str"), col("max_str"), col("approx_distinct"))
   }
 
+  /** Aggregates suitable for `Dataset.observe` — per-column null counts +
+    * HLL++ distincts + row count collected DURING another action (zero extra
+    * scan; SURVEY.md §4). Attach to a branch the full input flows through. */
+  def statsObserveAggs(columns: Seq[String]): Seq[Column] =
+    count(lit(1)).as("n_rows") +: columns.flatMap { c =>
+      Seq(sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+        approx_count_distinct(col(c)).as(s"${c}__adist"))
+    }
+
   /** Exact duplicate keys (count > 1). Spark's hash aggregate already
     * performs map-side partial aggregation; this is the unsalted path for
     * keys with bounded duplication. */

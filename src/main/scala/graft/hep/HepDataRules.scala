@@ -83,7 +83,12 @@ object HepDataRules {
 
   /** All violations for a Dataset[HepRow]-shaped DataFrame.
     * Output: (file, seq, phase, message, level) ordered per file. */
-  def violations(df: DataFrame): DataFrame = {
+  def violations(df: DataFrame): DataFrame =
+    violations(df, SchemaVersion.Default)
+
+  /** Version-gated variant (ref: data_file_validator.py:136-142 — semantic
+    * checks only for major > 0; independent-variable checks only ≥ 1.1.0). */
+  def violations(df: DataFrame, version: SchemaVersion): DataFrame = {
     val emptyArr = filter(
       array(vio(-1, lit(0), lit(0), lit(0), lit(0), lit(0),
         lit("No data found in file."))),
@@ -280,8 +285,11 @@ object HepDataRules {
       concat(perVal, ouArr)
     }))
 
-    val all = concat(emptyArr, indepSchemaArr, depSchemaArr, errValArr,
-      lengthArr, indepArr)
+    val noV = slice(emptyArr, 1, 0) // typed empty array
+    val all = concat(emptyArr, indepSchemaArr, depSchemaArr,
+      if (version.major > 0) errValArr else noV,
+      if (version.major > 0) lengthArr else noV,
+      if (version >= SchemaVersion.V110) indepArr else noV)
     df.select(col("file"), array_sort(all).as("_v"))
       .where(size(col("_v")) > 0)
       .select(col("file"), posexplode(col("_v")))

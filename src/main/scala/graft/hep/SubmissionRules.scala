@@ -70,7 +70,13 @@ object SubmissionRules {
     size(array_distinct(transform(items,
       x => struct(x.getField("raw"), x.getField("isString"))))) < size(items)
 
-  def violations(df: DataFrame): DataFrame = {
+  def violations(df: DataFrame): DataFrame =
+    violations(df, SchemaVersion.Default)
+
+  /** Version-gated variant (ref: submission_file_validator.py — cmenergies
+    * only for major > 0 (:92); has-submission-doc and duplicate checks only
+    * ≥ 1.1.0 (:100,:112)). */
+  def violations(df: DataFrame, version: SchemaVersion): DataFrame = {
     val docs = col("docs")
     val isTableDoc = (doc: Column, d: Column) =>
       !doc.getField("isEmpty") && (d > 0 || doc.getField("hasDataFile"))
@@ -274,7 +280,11 @@ object SubmissionRules {
       dupsOf(collected("nameRaw"), 1, "name"),
       dupsOf(collected("dataFileRaw"), 2, "data_file"))
 
-    val all = concat(flatten(docErrs), cmeArr, hasSubArr, dupArr)
+    val noV = slice(cmeArr, 1, 0) // typed empty array
+    val all = concat(flatten(docErrs),
+      if (version.major > 0) cmeArr else noV,
+      if (version >= SchemaVersion.V110) hasSubArr else noV,
+      if (version >= SchemaVersion.V110) dupArr else noV)
     df.select(col("file"), array_sort(all).as("_v"))
       .where(size(col("_v")) > 0)
       .select(col("file"), posexplode(col("_v")))

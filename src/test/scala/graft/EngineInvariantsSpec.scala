@@ -82,6 +82,21 @@ class EngineInvariantsSpec extends AnyFunSuite {
     assert(fingerprint() === fingerprint())
   }
 
+  test("observe() collects column stats during the violations action (zero extra pass)") {
+    val obs = org.apache.spark.sql.Observation("page_stats")
+    val res = graft.engine.PageValidator.validate(spark,
+      graft.testdata.PagesGen.pages(spark, 2000, "dirty"),
+      graft.testdata.PagesGen.langDim(spark),
+      graft.testdata.PagesGen.expectedText(spark, 2000),
+      htmlMaxBytes = 10000, observation = Some(obs))
+    res.violations.count() // the ONE action; metrics ride along
+    val m = obs.get
+    assert(m("n_rows") === 2000L)
+    assert(m("url__nulls") === (0L until 2000L).count(_ % 1000 == 3).toLong)
+    assert(m("lang__nulls") === 0L)
+    assert(m("url__adist").asInstanceOf[Long] > 1800L)
+  }
+
   test("kll_sketch via SparkSessionExtensions-style registry resolves in SQL") {
     graft.sketch.KllSketchAgg.register(spark)
     import spark.implicits._

@@ -86,6 +86,25 @@ class HepDataRulesSpec extends AnyFunSuite {
       "error - independent_variable must not have more than one overflow bin: (0.0000e+00, inf), (1.0000e+00, inf) in 'independent_variables[0].values[13]'"))
   }
 
+  test("version gates: <1.1.0 skips indep-var checks, major=0 skips all semantic checks") {
+    import spark.implicits._
+    import graft.hep.SchemaVersion
+    // 1.0.0: the 3 oneOf schema errors remain, the 7 semantic ones drop
+    val v100 = HepDataRules.violations(
+      Seq(HepFixtures.invalidIndepVars).toDS().toDF(), SchemaVersion.parse("1.0.0"))
+      .collect().map(_.getAs[String]("message"))
+    assert(v100.length === 3)
+    assert(v100.forall(_.contains("is not valid under any of the given schemas")))
+    // 0.1.0: error-value checks also skipped → zero-uncertainty file passes
+    val v0 = HepDataRules.violations(
+      Seq(HepFixtures.zeroUncertainty).toDS().toDF(), SchemaVersion.parse("0.1.0"))
+    assert(v0.count() === 0)
+    // 1.0.0 still runs error-value + length checks (major > 0)
+    val v100zero = HepDataRules.violations(
+      Seq(HepFixtures.zeroUncertainty).toDS().toDF(), SchemaVersion.parse("1.0.0"))
+    assert(v100zero.count() === 1)
+  }
+
   test("verdict matrix over the whole corpus") {
     import spark.implicits._
     val verdicts = HepDataRules.verdicts(HepFixtures.all.toDS().toDF())

@@ -81,6 +81,18 @@ class SubmissionRulesSpec extends AnyFunSuite {
     assert(messagesFor(SubFixtures.validWithEmpty) === Seq.empty)
   }
 
+  test("version gates: duplicates/has-submission-doc require >=1.1.0, cmenergies major>0") {
+    import spark.implicits._
+    import graft.hep.{SchemaVersion, SubmissionRules}
+    def msgsAt(f: SubFile, v: String) =
+      SubmissionRules.violations(Seq(f).toDS().toDF(), SchemaVersion.parse(v))
+        .collect().map(_.getAs[String]("message")).toSeq
+    assert(msgsAt(SubFixtures.invalidDuplicates, "1.0.0") === Seq.empty)
+    assert(msgsAt(SubFixtures.noSubmissionDoc, "1.0.0") === Seq.empty)
+    assert(msgsAt(SubFixtures.invalidCmenergies, "0.1.0") === Seq.empty)
+    assert(msgsAt(SubFixtures.invalidCmenergies, "1.0.0").size === 1)
+  }
+
   test("verdict matrix") {
     import spark.implicits._
     val verdicts = SubmissionRules.verdicts(SubFixtures.all.toDS().toDF())
