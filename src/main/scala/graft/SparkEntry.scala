@@ -183,6 +183,11 @@ object SparkEntry {
       graft.hep.HepDataRules.violations(graft.hep.HepFixtures.all.toDS().toDF())
         .orderBy("file", "seq")
     }),
+    // nested-rule throughput at scale (synthetic corpus; rows-only check)
+    "hep_scaled_50k" -> ((s, dir) => {
+      graft.hep.HepDataRules.violations(graft.testdata.HepGen.rows(s, 50000))
+        .groupBy("phase").count().orderBy("phase")
+    }),
     "sub_verdicts" -> ((s, dir) => {
       import s.implicits._
       graft.hep.SubmissionRules.verdicts(graft.hep.SubFixtures.all.toDS().toDF())
