@@ -20,10 +20,18 @@ import graft.testdata.PagesGen
   */
 object Cli {
   def main(args: Array[String]): Unit = {
+    val code = run(args)
+    if (code != 0) sys.exit(code)
+  }
+
+  /** Testable entry: returns the exit code instead of calling sys.exit. */
+  def run(args: Array[String]): Int = {
     val opts = args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // don't tear down a session we didn't create (in-process callers/tests)
+    val ownSession = SparkSession.getActiveSession.isEmpty
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-validate")
@@ -94,7 +102,8 @@ object Cli {
       }
     }
 
-    spark.stop()
-    if (!allValid) sys.exit(1)
+    violations.unpersist()
+    if (ownSession) spark.stop()
+    if (allValid) 0 else 1
   }
 }

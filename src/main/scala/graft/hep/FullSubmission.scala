@@ -37,14 +37,24 @@ object FullSubmission {
 
   /** All orchestration messages, assuming the submission file itself already
     * passed [[SubmissionRules]] (the reference short-circuits otherwise,
-    * :180-188 — see [[validateAll]]). */
+    * :180-188 — see [[validateAll]]).
+    *
+    * `docs` may carry a `dataSchema` column (remote-schema URL analogue,
+    * ref :331-347): a doc whose dataSchema is not in `knownSchemas` gets
+    * "Autoloading of remote schema <url> is not allowed." when autoload is
+    * off, or "Remote schema <url> not found." when the loader can't resolve
+    * it (`resolvableSchemas`). Spec loading itself is driver-side
+    * (SpecJson), mirroring the reference's downloader/cache. */
   def checks(
       spark: SparkSession,
       submissionPath: String,
-      docs: DataFrame, // (docIdx, name, hasDataFile, dataFile, resources)
+      docs: DataFrame, // (docIdx, name, hasDataFile, dataFile, resources[, dataSchema])
       files: DataFrame, // (fname, size, parseable, parseError)
       dataViolations: DataFrame, // (file, seq, message)
-      sizeLimit: Long = SizeLimit): Result = {
+      sizeLimit: Long = SizeLimit,
+      knownSchemas: Set[String] = Set.empty,
+      resolvableSchemas: Set[String] = Set.empty,
+      autoloadRemote: Boolean = true): Result = {
 
     val subPath = lit(submissionPath)
     val fileNames = files.select(col("fname"))
@@ -80,25 +90,49 @@ object FullSubmission {
       .select(msg(col("dataFile"), col("docIdx"), 1, lit(2), lit(0), "error",
         concat(lit("Size of data_file '"), col("dataFile"), lit("' ("),
           col("size"), lit(s" bytes) is bigger than the limit of $sizeLimit bytes. Try adding the file as an additional_resource instead."))).as("m"))
-    val dfUnparseable = present
-      .where(col("size") <= sizeLimit && !col("parseable"))
-      .select(msg(col("dataFile"), col("docIdx"), 1, lit(3), lit(0), "error",
+
+    // remote-schema dispatch (ref :331-347): checked after the size gate,
+    // before the parse; failure skips the doc's remaining checks
+    val withSchema = (if (present.columns.contains("dataSchema")) present
+      else present.withColumn("dataSchema", lit(null).cast("string")))
+      .where(col("size") <= sizeLimit)
+    val schemaOkSet = if (autoloadRemote) resolvableSchemas else knownSchemas
+    val schemaOk = if (schemaOkSet.isEmpty) lit(false)
+      else col("dataSchema").isin(schemaOkSet.toSeq.map(x => x: Any): _*)
+    val schemaBad = withSchema.where(col("dataSchema").isNotNull && !schemaOk)
+    val schemaMsgs = schemaBad
+      .select(msg(subPath, col("docIdx"), 1, lit(3), lit(0), "error",
+        if (autoloadRemote)
+          concat(lit("Remote schema "), col("dataSchema"), lit(" not found."))
+        else
+          concat(lit("Autoloading of remote schema "), col("dataSchema"),
+            lit(" is not allowed."))).as("m"))
+    val dfUnparseable = withSchema
+      .join(schemaBad.select(col("docIdx")), Seq("docIdx"), "left_anti")
+      .where(!col("parseable"))
+      .select(msg(col("dataFile"), col("docIdx"), 1, lit(4), lit(0), "error",
         concat(lit("There was a problem parsing the file:\n\t\t"),
           col("parseError"))).as("m"))
 
     // data-file validation verdict + message propagation
-    val checkable = present.where(col("size") <= sizeLimit && col("parseable"))
-      .select(col("docIdx"), col("dataFile"))
+    val checkable = withSchema
+      .join(schemaBad.select(col("docIdx")), Seq("docIdx"), "left_anti")
+      .where(col("parseable"))
+      .select(col("docIdx"), col("dataFile"), col("dataSchema"))
     val vByFile = dataViolations.groupBy(col("file"))
       .agg(collect_list(struct(col("seq"), col("message"))).as("vs"))
     val invalid = checkable.join(broadcast(vByFile),
       checkable("dataFile") === vByFile("file"))
+    // header says "against schema <url>" for remote-schema docs (ref :366)
+    val invalidWhat = when(col("dataSchema").isNotNull,
+      concat(lit("against schema "), col("dataSchema")))
+      .otherwise(lit("HEPData YAML"))
     val dfInvalidHdr = invalid
-      .select(msg(col("dataFile"), col("docIdx"), 1, lit(4), lit(-1), "error",
-        concat(col("dataFile"), lit(" is invalid HEPData YAML."))).as("m"))
+      .select(msg(col("dataFile"), col("docIdx"), 1, lit(5), lit(-1), "error",
+        concat(col("dataFile"), lit(" is invalid "), invalidWhat, lit("."))).as("m"))
     val dfInvalidMsgs = invalid
       .select(col("docIdx"), col("dataFile"), explode(col("vs")).as("v"))
-      .select(msg(col("dataFile"), col("docIdx"), 1, lit(4), col("v.seq"),
+      .select(msg(col("dataFile"), col("docIdx"), 1, lit(5), col("v.seq"),
         "error", col("v.message")).as("m"))
 
     // ---- J3: unreferenced-file sweep + MacOS `._` hint -------------------
@@ -122,7 +156,7 @@ object FullSubmission {
           lit(" might be a file created by tar on MacOS. Set COPYFILE_DISABLE=1 before creating the archive."))).as("m"))
 
     val allMsgs = Seq(resSlash, resMissing, dfSlash, dfMissing, dfTooBig,
-      dfUnparseable, dfInvalidHdr, dfInvalidMsgs, unrefMsgs, hintMsgs)
+      schemaMsgs, dfUnparseable, dfInvalidHdr, dfInvalidMsgs, unrefMsgs, hintMsgs)
       .reduce(_ unionByName _)
       .select(col("m.file"), col("m.k0"), col("m.k1"), col("m.k2"),
         col("m.k3"), col("m.level"), col("m.message"))

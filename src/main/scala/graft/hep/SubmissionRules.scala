@@ -58,9 +58,10 @@ object SubmissionRules {
   private def pyFloatOk(c: Column): Column =
     trim(c).rlike(PyFloatRe) && trim(c).try_cast("double").isNotNull
 
-  /** Python repr of a scalar: strings quoted, numbers bare. */
+  /** Python repr of a scalar: strings quoted, numbers bare, None for null. */
   private def pyRepr(raw: Column, isString: Column): Column =
-    when(isString, concat(lit("'"), raw, lit("'"))).otherwise(raw)
+    when(raw.isNull, lit("None"))
+      .when(isString, concat(lit("'"), raw, lit("'"))).otherwise(raw)
 
   private def listRepr(items: Column): Column =
     concat(lit("["), array_join(transform(items,
@@ -251,7 +252,7 @@ object SubmissionRules {
         val f = get(cmeFails, (firstCmeDoc - 1).cast("int"))
         vio((firstCmeDoc - 1).cast("int"), 1, 0, lit(0), lit(0), lit(0),
           concat(lit("Invalid value (in GeV) for cmenergies: '"),
-            f.getField("raw"), lit("' in 'keywords["),
+            coalesce(f.getField("raw"), lit("None")), lit("' in 'keywords["),
             istr(f.getField("kw")),
             lit(s"].name.cmenergies' (expected: $CmeRepr)")))
       })), nn(_))

@@ -97,6 +97,35 @@ class FullSubmissionSpec extends AnyFunSuite {
       Seq("data1.yaml", "data4.yaml"))
   }
 
+  test("remote schema dispatch: not-found / not-allowed / against-schema header (:331-366)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1, "T1", true, "data1.yaml", Seq.empty[String], "https://example.org/good.json"),
+      (2, "T2", true, "data9.yaml", Seq.empty[String], "https://example.org/also-good.json"),
+      (3, "T3", true, "data4.yaml", Seq.empty[String], "https://example.org/missing.json"),
+      (4, "T4", true, "data10.yaml", Seq.empty[String], null))
+      .toDF("docIdx", "name", "hasDataFile", "dataFile", "resources", "dataSchema")
+    val (_, files, dv) = fixture()
+    val known = Set("https://example.org/good.json", "https://example.org/also-good.json")
+    // autoload on: unknown-to-loader schema -> "not found"
+    val r1 = FullSubmission.checks(spark, "submission.yaml", docs, files, dv,
+      resolvableSchemas = known, autoloadRemote = true)
+    val m1 = r1.messages.collect().map(_.getAs[String]("message"))
+    assert(m1.contains("Remote schema https://example.org/missing.json not found."))
+    // data9 is invalid and carries a schema -> "against schema" header
+    assert(m1.contains("data9.yaml is invalid against schema https://example.org/also-good.json."))
+    assert(m1.contains("data10.yaml is invalid HEPData YAML.") === false) // data10 has no violations
+    // autoload off: same doc -> "not allowed"
+    val r2 = FullSubmission.checks(spark, "submission.yaml", docs, files, dv,
+      knownSchemas = known, autoloadRemote = false)
+    assert(r2.messages.collect().map(_.getAs[String]("message"))
+      .contains("Autoloading of remote schema https://example.org/missing.json is not allowed."))
+    // data4 (the doc with the bad schema) is excluded from valid files
+    assert(!r1.validDataFiles.collect().map(_.getString(0)).contains("data4.yaml"))
+    assert(r1.validDataFiles.collect().map(_.getString(0)).toSet ===
+      Set("data1.yaml", "data10.yaml"))
+  }
+
   test("short-circuit: invalid submission.yaml returns only its messages (:180-188)") {
     import spark.implicits._
     val (docs, files, dv) = fixture()

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.hep._
+import graft.hep.HepModel._
+
+/** Robustness: adversarially-shaped rows (empty arrays, missing sections,
+  * nulls in every optional slot, pathological scalars) must never make the
+  * fused projections throw — at 10^12 rows a single malformed document must
+  * not kill the job. */
+class HepFuzzSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("HepDataRules never throws on adversarial rows") {
+    import spark.implicits._
+    val weird = Seq(
+      emptyRow("f0"),
+      HepRow("f1", emptyDoc = false, hasIndep = false, Nil, hasDep = false, Nil),
+      row("f2", indep = Seq.empty, dep = Seq.empty),
+      row("f3", indep = Seq(indepVar("v", Seq.empty)), dep = Seq(depVar("d", Seq.empty))),
+      row("f4", indep = Seq(indepVar("v", null)), dep = Seq(depVar("d", null))),
+      row("f5",
+        indep = Seq(indepVar("v", Seq(
+          HepIndepVal(hasValue = false, null, valueIsString = false,
+            hasLow = false, null, lowIsNum = false, None,
+            hasHigh = false, null, highIsNum = false, None, "{}", Nil)))),
+        dep = Seq(depVar("d", Seq(
+          dval(null, Seq(HepErr(hasSym = false, null, hasAsym = false, null,
+            null, hasLabel = false, null, labelIsString = false,
+            Seq("a", "b", "c")))),
+          dval("", Seq.empty),
+          dval("x", null))))),
+      row("f6",
+        indep = Seq(indepVar("v", Seq(
+          point("∞ - ∞", isString = true), point("--", isString = true),
+          point("1-2-3", isString = true),
+          bin("inf", Some(Double.PositiveInfinity), "inf", Some(Double.PositiveInfinity)),
+          bin("nan", Some(Double.NaN), "nan", Some(Double.NaN))))),
+        dep = Seq(depVar("d", Seq(
+          dval("v", Seq(sym("%%%"), sym("%"), sym("  "), asym("%", "%"),
+            asym(null, null).copy(hasAsym = false, hasSym = false))))))))
+    val df = weird.toDS().toDF()
+    val v = HepDataRules.violations(df).collect() // must not throw
+    val verdicts = HepDataRules.verdicts(df).collect()
+    assert(verdicts.length === weird.size)
+    assert(v.forall(_.getAs[String]("message") != null))
+  }
+
+  test("SubmissionRules never throws on adversarial rows") {
+    import spark.implicits._
+    val weird = Seq(
+      SubFile("s0", Seq.empty),
+      SubFile("s1", Seq(SubModel.emptyDoc)),
+      SubFile("s2", Seq(SubModel.addInfoDoc(recids = Seq(
+        RelItem(null, isString = false, isInt = false, None))))),
+      SubFile("s3", Seq(
+        SubModel.tableDoc(null, null, keywords = Seq(
+          SubKeyword(hasName = false, null, hasValues = false, null, Seq("z")),
+          SubModel.kw("cmenergies", Seq(SubModel.kvs(""), SubModel.kvs("-"),
+            SubModel.kvs(null))))))),
+      SubFile("s4", Seq(SubModel.tableDoc("t", "f.yaml")
+        .copy(hasDois = true, dois = Seq(RelItem("", isString = true,
+          isInt = false, None))))))
+    val v = SubmissionRules.violations(weird.toDS().toDF()).collect()
+    val verdicts = SubmissionRules.verdicts(weird.toDS().toDF()).collect()
+    assert(verdicts.length === weird.size)
+    assert(v.forall(_.getAs[String]("message") != null))
+  }
+}
