@@ -54,15 +54,21 @@ object FullSubmission {
       sizeLimit: Long = SizeLimit,
       knownSchemas: Set[String] = Set.empty,
       resolvableSchemas: Set[String] = Set.empty,
-      autoloadRemote: Boolean = true): Result = {
+      autoloadRemote: Boolean = true,
+      version: SchemaVersion = SchemaVersion.Default): Result = {
 
     val subPath = lit(submissionPath)
     val fileNames = files.select(col("fname"))
 
     // ---- F8/F7/J2: additional_resources checks (per resource) ----------
+    // v0 also skips '/resource/'-prefixed locations (ref :273-279)
+    val unchecked =
+      if (version.major == 0)
+        col("loc").startsWith("http") || col("loc").startsWith("/resource/")
+      else col("loc").startsWith("http")
     val resources = docs
       .select(col("docIdx"), posexplode(col("resources")).as(Seq("resIdx", "loc")))
-      .where(!col("loc").startsWith("http"))
+      .where(!unchecked)
     val resSlash = resources.where(col("loc").contains("/"))
       .select(msg(subPath, col("docIdx"), 0, col("resIdx"), lit(0), "error",
         concat(lit("Location of 'additional_resources' file '"), col("loc"),
@@ -86,7 +92,9 @@ object FullSubmission {
         concat(lit("Missing data_file '"), col("dataFile"), lit("'."))).as("m"))
     val present = cleanDocs.join(broadcast(files),
       cleanDocs("dataFile") === files("fname"))
-    val dfTooBig = present.where(col("size") > sizeLimit)
+    // size cap only ≥ 1.1.0 (ref :318-325)
+    val sizeGate = if (version >= SchemaVersion.V110) lit(true) else lit(false)
+    val dfTooBig = present.where(sizeGate && col("size") > sizeLimit)
       .select(msg(col("dataFile"), col("docIdx"), 1, lit(2), lit(0), "error",
         concat(lit("Size of data_file '"), col("dataFile"), lit("' ("),
           col("size"), lit(s" bytes) is bigger than the limit of $sizeLimit bytes. Try adding the file as an additional_resource instead."))).as("m"))
@@ -95,7 +103,7 @@ object FullSubmission {
     // before the parse; failure skips the doc's remaining checks
     val withSchema = (if (present.columns.contains("dataSchema")) present
       else present.withColumn("dataSchema", lit(null).cast("string")))
-      .where(col("size") <= sizeLimit)
+      .where(!sizeGate || col("size") <= sizeLimit)
     val schemaOkSet = if (autoloadRemote) resolvableSchemas else knownSchemas
     val schemaOk = if (schemaOkSet.isEmpty) lit(false)
       else col("dataSchema").isin(schemaOkSet.toSeq.map(x => x: Any): _*)
@@ -143,7 +151,10 @@ object FullSubmission {
       .union(cleanDocs.select(col("dataFile").as("fname")))
       .union(spark.createDataFrame(Seq(Tuple1(submissionPath))).toDF("fname"))
       .distinct()
-    val unref = fileNames.join(broadcast(included), Seq("fname"), "left_anti")
+    // unreferenced sweep only ≥ 1.1.0 (ref :200-228)
+    val unref0 = fileNames.join(broadcast(included), Seq("fname"), "left_anti")
+    val unref = if (version >= SchemaVersion.V110) unref0
+      else unref0.where(lit(false))
     val unrefMsgs = unref
       .select(msg(col("fname"), lit(999999), 2, lit(0), lit(0), "error",
         concat(col("fname"), lit(" is not referenced in the submission."))).as("m"))

@@ -126,6 +126,25 @@ class FullSubmissionSpec extends AnyFunSuite {
       Set("data1.yaml", "data10.yaml"))
   }
 
+  test("version gates: v0 skips /resource/ prefix, <1.1.0 skips sweep + size cap") {
+    import graft.hep.SchemaVersion
+    val (docs0, files, dv) = fixture()
+    import spark.implicits._
+    val docs = docs0.unionByName(Seq(
+      (8, "Table 8", false, null.asInstanceOf[String], Seq("/resource/x.png")))
+      .toDF("docIdx", "name", "hasDataFile", "dataFile", "resources"))
+    val v0 = FullSubmission.checks(spark, "submission.yaml", docs, files, dv,
+      version = SchemaVersion.parse("0.1.0"))
+      .messages.collect().map(_.getAs[String]("message"))
+    assert(!v0.exists(_.contains("is not referenced"))) // sweep off
+    assert(!v0.exists(_.contains("bigger than the limit"))) // size cap off
+    assert(!v0.exists(_.contains("/resource/x.png"))) // v0 prefix skipped
+    val v1 = FullSubmission.checks(spark, "submission.yaml", docs, files, dv)
+      .messages.collect().map(_.getAs[String]("message"))
+    assert(v1.exists(_.contains("Missing 'additional_resources' file '/resource/x.png'"))
+      || v1.exists(_.contains("Location of 'additional_resources' file '/resource/x.png'")))
+  }
+
   test("short-circuit: invalid submission.yaml returns only its messages (:180-188)") {
     import spark.implicits._
     val (docs, files, dv) = fixture()
