@@ -114,6 +114,69 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), countDistinct(col("o_custkey")).as("n_cust"))
         .orderBy("c_mktsegment")
     }),
+    // ---- set operations ----------------------------------------------------
+    "set_except" -> ((s, dir) => {
+      val users = s.read.parquet(t(dir, "events")).select(col("user_id")).distinct()
+      val custs = s.read.parquet(t(dir, "customer"))
+        .where(col("c_custkey") < 100).select(col("c_custkey").as("user_id"))
+      users.except(custs).orderBy("user_id")
+    }),
+    "set_intersect" -> ((s, dir) => {
+      val users = s.read.parquet(t(dir, "events")).select(col("user_id")).distinct()
+      val custs = s.read.parquet(t(dir, "customer"))
+        .where(col("c_custkey") < 100).select(col("c_custkey").as("user_id"))
+      users.intersect(custs).orderBy("user_id")
+    }),
+    // ---- grouping sets / rollup --------------------------------------------
+    "agg_rollup" -> ((s, dir) => {
+      s.read.parquet(t(dir, "lineitem"))
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+    // ---- semi join (EXISTS) -------------------------------------------------
+    "j_semi_exists" -> ((s, dir) => {
+      val c = s.read.parquet(t(dir, "customer"))
+      val o = s.read.parquet(t(dir, "orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey")).orderBy("c_custkey")
+    }),
+    // ---- multi-way broadcast join -------------------------------------------
+    "j_3way_region" -> ((s, dir) => {
+      val r = s.read.parquet(t(dir, "region"))
+      val n = s.read.parquet(t(dir, "nation"))
+      val c = s.read.parquet(t(dir, "customer"))
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_cust"), countDistinct(col("n_name")).as("n_nations"))
+        .orderBy("r_name")
+    }),
+    // ---- sessionization (lag window over event time) ------------------------
+    "w_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      s.read.parquet(t(dir, "events"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          (col("prev_ts").isNull ||
+            // fractional epoch seconds (unix_timestamp truncates, DuckDB's
+            // epoch() doesn't — boundary cases would disagree)
+            col("ts").cast("double") - col("prev_ts").cast("double") > 1800.0)
+            .cast("long"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+    // ---- conditional aggregation --------------------------------------------
+    "agg_conditional" -> ((s, dir) => {
+      s.read.parquet(t(dir, "documents"))
+        .groupBy(col("lang"))
+        .agg(sum(when(col("n_chars") > 300, 1L).otherwise(0L)).as("n_long"),
+          sum(when(col("n_chars") <= 300, 1L).otherwise(0L)).as("n_short"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang")
+    }),
     // ---- §2.7 window function --------------------------------------------
     "w_window_topk" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -323,6 +386,50 @@ object SparkEntry {
                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment""").replaceAll("\\s+", " ").trim,
+      "set_except" -> ("""
+        SELECT * FROM (
+          SELECT DISTINCT user_id FROM events
+          EXCEPT
+          SELECT c_custkey AS user_id FROM customer WHERE c_custkey < 100
+        ) ORDER BY user_id""").replaceAll("\\s+", " ").trim,
+      "set_intersect" -> ("""
+        SELECT * FROM (
+          SELECT DISTINCT user_id FROM events
+          INTERSECT
+          SELECT c_custkey AS user_id FROM customer WHERE c_custkey < 100
+        ) ORDER BY user_id""").replaceAll("\\s+", " ").trim,
+      "agg_rollup" -> ("""
+        SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+               sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""").replaceAll("\\s+", " ").trim,
+      "j_semi_exists" -> ("""
+        SELECT c_custkey FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey""").replaceAll("\\s+", " ").trim,
+      "j_3way_region" -> ("""
+        SELECT r_name, CAST(count(*) AS BIGINT) AS n_cust,
+               CAST(count(DISTINCT n_name) AS BIGINT) AS n_nations
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""").replaceAll("\\s+", " ").trim,
+      "w_sessionize" -> ("""
+        SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM (
+          SELECT user_id,
+                 CASE WHEN prev_ts IS NULL
+                        OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+          FROM (SELECT user_id, ts, event_id,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                FROM events))
+        GROUP BY user_id ORDER BY user_id""").replaceAll("\\s+", " ").trim,
+      "agg_conditional" -> ("""
+        SELECT lang,
+               CAST(sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+               CAST(sum(CASE WHEN n_chars <= 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+               max(n_chars) AS max_chars
+        FROM documents GROUP BY lang ORDER BY lang""").replaceAll("\\s+", " ").trim,
       "w_window_topk" -> ("""
         SELECT user_id, event_id, CAST(rn AS INT) AS rn FROM (
           SELECT user_id, event_id,
