@@ -161,8 +161,9 @@ object SparkEntry {
         .withColumn("new_session",
           (col("prev_ts").isNull ||
             // fractional epoch seconds (unix_timestamp truncates, DuckDB's
-            // epoch() doesn't — boundary cases would disagree)
-            col("ts").cast("double") - col("prev_ts").cast("double") > 1800.0)
+            // epoch() doesn't); TIMESTAMP_NTZ needs the timestamp hop (UTC)
+            col("ts").cast("timestamp").cast("double") -
+              col("prev_ts").cast("timestamp").cast("double") > 1800.0)
             .cast("long"))
         .groupBy(col("user_id"))
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
