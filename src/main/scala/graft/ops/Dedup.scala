@@ -134,10 +134,11 @@ object Dedup {
     * token). Exact pairwise Jaccard, but only inside blocks. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int = 4, threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
-    // substring(col, Column, Column) isn't in the Scala API — use expr-level
+    // native one-pass n-gram expression (sketch.CharNGrams); equivalent to
+    // array_distinct(transform(sequence(1, length-n+1), i -> substring(...)))
+    graft.sketch.SignatureExprs.register(df.sparkSession)
     val withG = df.select(col(idCol).as("id"),
-      expr(s"array_distinct(CASE WHEN length($textCol) < $n THEN array($textCol) " +
-        s"ELSE transform(sequence(1, length($textCol) - ${n - 1}), i -> substring($textCol, i, $n)) END)").as("g"),
+      expr(s"char_ngrams($textCol, $n)").as("g"),
       xxhash64(concat(
         floor(size(split(col(textCol), "\\s+")) / 5).cast("string"), lit("|"),
         coalesce(element_at(split(col(textCol), "\\s+"), 1), lit("")))).as("block"))

@@ -104,6 +104,32 @@ case class SimHashSig(child: Expression, seed: Long = 42L)
     copy(child = c)
 }
 
+/** Distinct character n-grams of a string in one pass (native replacement
+  * for the interpreted `transform(sequence(...), i -> substring(...))`
+  * formulation; same semantics: whole string when shorter than n). */
+case class CharNGrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val len = s.numChars()
+    if (len < n) return ArrayData.toArrayData(Array[Any](s))
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i <= len - n) {
+      seen.add(s.substring(i, i + n))
+      i += 1
+    }
+    ArrayData.toArrayData(seen.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharNGrams =
+    copy(child = c)
+}
+
 object SignatureExprs {
   /** Register `minhash_sig(tokens, numHashes, shingleK)` and
     * `simhash_sig(tokens)` for expr()/SQL use. Idempotent. */
@@ -116,5 +142,7 @@ object SignatureExprs {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_sig", exprs => SimHashSig(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_ngrams", exprs => CharNGrams(exprs.head, litInt(exprs(1))), "built-in")
   }
 }
