@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   *     column is computed — count() would let Catalyst prune the work away);
   *  2. the BASELINE.md scaling experiment: the full page-validation pipeline
   *     (row rules + uniqueness + referential + text invariant + verdicts +
-  *     stats) over SPARK_GRAFT_BENCH_DOCS synthetic pages, run at local[N]
-  *     and local[4N] on the SAME parquet input; efficiency =
-  *     docs/sec(4N) / (4 × docs/sec(N)).
+  *     observe()-stats) over SPARK_GRAFT_BENCH_DOCS synthetic pages, run at
+  *     THREE parallelism levels (cpus/16, cpus/4, cpus) on the SAME parquet
+  *     input, reporting efficiency for both N→4N pairs — see BENCH.md for
+  *     why the low pair models cluster scaling and the high pair includes
+  *     the single-box memory-bandwidth ceiling.
   */
 object Bench {
 
