@@ -75,6 +75,51 @@ object DriftPass {
   def chi2Threshold(dof: Int): Double =
     chi2Crit999(math.min(math.max(dof, 1), 20))
 
+  /** Per-partition sketches in one aggregate pass. */
+  def sketchByPartition(
+      spark: SparkSession, df: DataFrame, valueExpr: String,
+      partitionCol: String): Seq[(Int, KllDoublesSketch, Long)] = {
+    KllSketchAgg.register(spark)
+    df.groupBy(col(partitionCol).cast("int").as("p"))
+      .agg(expr(s"kll_sketch(cast(($valueExpr) as double))").as("sk"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getInt(0), KllSketchAgg.heapify(r.getAs[Array[Byte]]("sk")),
+        r.getLong(2)))
+      .sortBy(_._1).toSeq
+  }
+
+  /** Production shape: test each partition against a FIXED baseline sketch
+    * (e.g. the previous snapshot's distribution, persisted as bytes in the
+    * manifest) instead of the pooled rest — a few KB of driver state, no
+    * second pass over history. */
+  def detectAgainstBaseline(
+      spark: SparkSession,
+      df: DataFrame,
+      valueExpr: String,
+      baseline: KllDoublesSketch,
+      partitionCol: String = "part_id",
+      ksC: Double = 1.628): Seq[DriftReport] =
+    sketchByPartition(spark, df, valueExpr, partitionCol).map { case (p, sk, n) =>
+      val m = baseline.getN
+      val ks = ksStatistic(sk, baseline)
+      val ksThr = ksThreshold(n, m, ksC)
+      val (c2, dof) = chi2Statistic(sk, baseline)
+      val c2Thr = chi2Threshold(dof)
+      DriftReport(p, n, ks, ksThr, ks > ksThr, c2, c2Thr, c2 > c2Thr)
+    }
+
+  /** Merge all partition sketches into one baseline (e.g. to persist for the
+    * next snapshot's detectAgainstBaseline). */
+  def pooledBaseline(spark: SparkSession, df: DataFrame, valueExpr: String,
+      partitionCol: String = "part_id"): KllDoublesSketch = {
+    val pooled = KllDoublesSketch.newHeapInstance(200)
+    sketchByPartition(spark, df, valueExpr, partitionCol).foreach { case (_, sk, _) =>
+      pooled.merge(KllSketchAgg.heapify(sk.toByteArray))
+    }
+    pooled
+  }
+
   /** Sketch `valueExpr` per partition in one aggregate pass, then test every
     * partition against the pooled rest on the driver. */
   def detect(
@@ -83,15 +128,8 @@ object DriftPass {
       valueExpr: String,
       partitionCol: String = "part_id",
       ksC: Double = 1.628 /* α=0.01; sketch rank error eats into α=0.05 margin */ ): Seq[DriftReport] = {
-    KllSketchAgg.register(spark)
-    val rows = df
-      .groupBy(col(partitionCol).cast("int").as("p"))
-      .agg(expr(s"kll_sketch(cast(($valueExpr) as double))").as("sk"),
-        count(lit(1)).as("n"))
-      .collect()
-    val sketches = rows.map(r =>
-      (r.getInt(0), KllSketchAgg.heapify(r.getAs[Array[Byte]]("sk")), r.getLong(2)))
-    sketches.sortBy(_._1).map { case (p, sk, n) =>
+    val sketches = sketchByPartition(spark, df, valueExpr, partitionCol)
+    sketches.map { case (p, sk, n) =>
       val rest = KllDoublesSketch.newHeapInstance(200)
       sketches.filter(_._1 != p).foreach { case (_, o, _) =>
         rest.merge(KllSketchAgg.heapify(o.toByteArray))

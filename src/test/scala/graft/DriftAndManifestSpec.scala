@@ -48,6 +48,18 @@ class DriftAndManifestSpec extends AnyFunSuite {
     assert(shifted.map(_.ksStat).min > cleanMax * 3)
   }
 
+  test("drift vs fixed baseline: only the shifted partitions flag") {
+    val baseline = DriftPass.pooledBaseline(spark,
+      graft.testdata.PagesGen.pages(spark, N, "clean"), "length(text)")
+    val reports = DriftPass.detectAgainstBaseline(spark,
+      graft.testdata.PagesGen.pages(spark, N, "drift"), "length(text)", baseline)
+    val (shifted, unshifted) = reports.partition(
+      _.partId >= graft.testdata.PagesGen.NumParts / 2)
+    assert(shifted.forall(r => r.ksDrifted && r.chi2Drifted), reports.mkString("\n"))
+    // unshifted partitions match the clean baseline — they must NOT flag
+    assert(unshifted.forall(r => !r.ksDrifted), reports.mkString("\n"))
+  }
+
   test("manifest: incremental run processes only pending partitions, resume is a no-op") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_manifest").toString + "/manifest"
