@@ -273,10 +273,20 @@ object SparkEntry {
           s.read.parquet(t(dir, "documents")), "doc_id", "text", threshold = 0.8)
         .orderBy("id_a", "id_b")
     }),
+    // Multi-band LSH embedding dedup, DuckDB-verified: the driver embeddings
+    // are near-orthogonal (no true pairs above cosine 0.5), so the query
+    // derives deterministic planted near-dups (+0.01 per component, pure
+    // double arithmetic — bit-identical in DuckDB) and must find EXACTLY the
+    // brute-force cosine ≥ 0.99 pairs.
     "dedup_embedding" -> ((s, dir) => {
-      graft.ops.Dedup.embeddingDedup(
-          s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
-          threshold = 0.99)
+      val e = s.read.parquet(t(dir, "embeddings"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val planted = e.where(col("vec_id") < 50)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("v"), x => x + lit(0.01)).as("v"))
+      graft.ops.Dedup.embeddingDedup(e.unionByName(planted), "vec_id", "v",
+          threshold = 0.99, nTables = 8, planesPerTable = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
     // ---- similarity search: exact brute-force top-k (DuckDB oracle) --------
@@ -519,6 +529,51 @@ object SparkEntry {
                CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop,
                CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
                  / len(string_split(text, ' ')) AS stop_ratio
-        FROM documents ORDER BY doc_id""").replaceAll("\\s+", " ").trim)
+        FROM documents ORDER BY doc_id""").replaceAll("\\s+", " ").trim,
+      // brute-force word-3-shingle Jaccard over all pairs — the LSH result
+      // must equal the exact answer at this scale (all true pairs sit at
+      // J ≥ 0.9, far above the banding's miss region)
+      "dedup_minhash" -> ("""
+        WITH s AS (
+          SELECT doc_id, list_distinct(
+            CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(generate_series(1, len(toks)-2), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+          FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM s a, s b
+        WHERE a.doc_id < b.doc_id
+          AND len(list_intersect(a.sh, b.sh))
+                >= 0.6 * len(list_distinct(list_concat(a.sh, b.sh)))
+        ORDER BY id_a, id_b""").replaceAll("\\s+", " ").trim,
+      // brute-force char-4-gram Jaccard (Spark verifies over xxhash64'd
+      // n-gram sets — identical Jaccard, no collisions at this scale)
+      "dedup_ngram" -> ("""
+        WITH s AS (
+          SELECT doc_id, list_distinct(
+            CASE WHEN length(text) < 4 THEN [text]
+                 ELSE list_transform(generate_series(1, length(text)-3), i -> substring(text, i, 4)) END) AS g
+          FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.g, b.g))) AS jaccard
+        FROM s a, s b
+        WHERE a.doc_id < b.doc_id
+          AND len(list_intersect(a.g, b.g))
+                >= 0.8 * len(list_distinct(list_concat(a.g, b.g)))
+        ORDER BY id_a, id_b""").replaceAll("\\s+", " ").trim,
+      // brute-force cosine over originals + deterministically planted
+      // near-dups (v + 0.01 per component, double arithmetic on both sides)
+      "dedup_embedding" -> ("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             p AS (SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x + 0.01) AS v
+                   FROM e WHERE vec_id < 50),
+             allv AS (SELECT * FROM e UNION ALL SELECT * FROM p)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM allv a, allv b
+        WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.v, b.v) >= 0.99
+        ORDER BY id_a, id_b""").replaceAll("\\s+", " ").trim)
   }
 }

@@ -1,15 +1,21 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale text corpora — exact, MinHash+LSH,
-  * SimHash and n-gram Jaccard. All signature computation is pure Catalyst
-  * (one projection per row, whole-stage codegen); candidate generation is the
-  * classic band-bucket shuffle: documents are only ever compared inside a
-  * bucket, so the cross-product never materializes. At 10^12 docs the only
-  * quadratic term is per-bucket, bounded by `maxBucket` (oversized buckets
-  * are dropped and logged — they're near-identical boilerplate anyway).
+  * SimHash, char-n-gram Jaccard and embedding near-dup. All signature
+  * computation is pure Catalyst (one codegen'd projection per row); candidate
+  * generation is the classic band-bucket shuffle: documents are only ever
+  * compared inside a (band, bucket) cell, so the cross-product never
+  * materializes. At 10^12 docs the only quadratic term is per-bucket,
+  * bounded by `maxBucket`. Oversized buckets are dropped — NOT silently:
+  * every candidate-generation path reports `n_buckets`, `dropped_buckets`
+  * and `max_bucket_size` through an `observe()` metric (pass an
+  * [[org.apache.spark.sql.Observation]] to read it; see also
+  * [[Dedup.oversizedBuckets]] for the side-output of what was dropped).
+  * Because every op here bands over MULTIPLE independent hash bands/tables,
+  * one dropped bucket degrades recall gracefully instead of zeroing it.
   */
 object Dedup {
 
@@ -18,9 +24,8 @@ object Dedup {
     * referenced once or cheap; lambda-iterated references (transform over a
     * column) count as one reference, so without this barrier an expensive
     * array expression gets re-evaluated once per lambda iteration after the
-    * projections collapse (e.g. the 32-hash MinHash signature recomputing
-    * the shingle set 32×, which recomputes split() ~90× each). */
-  private def pin(c: Column): Column = slice(c, lit(1), size(c))
+    * projections collapse. */
+  private[ops] def pin(c: Column): Column = slice(c, lit(1), size(c))
 
   /** Exact duplicates by content hash: groups with >1 member, keeper = min id.
     * Two-phase partial agg comes free from Spark's hash aggregate. */
@@ -37,49 +42,69 @@ object Dedup {
         i => array_join(slice(tokens, i, lit(k)), " ")))
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum over the shingle set. */
+    * minimum over the shingle set. Pure-Column spec of what the native
+    * sketch.MinHashSig expression computes in one pass. */
   def minhashSignature(sh: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       s => array_min(transform(array_distinct(sh),
         x => xxhash64(concat(x, lit("#"), s.cast("string"))))))
 
-  /** (id, band, band_hash) — one row per band; equal band hash ⇒ candidate. */
+  /** (id, band, band_hash) — one row per band; equal band hash ⇒ candidate.
+    * Signature and band hashes via the native one-pass codegen'd expressions
+    * (sketch.MinHashSig / sketch.BandHashes). */
   def minhashBands(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0)
-    val r = numHashes / bands
-    // signature via the native one-pass Catalyst expression (sketch
-    // .MinHashSig); the pure-Column formulation (shingles+minhashSignature)
-    // is kept above as the spec of what it computes
     graft.sketch.SignatureExprs.register(df.sparkSession)
     df.select(col(idCol).as("id"), split(col(textCol), "\\s+").as("toks"))
-      .select(col("id"),
-        expr(s"minhash_sig(toks, $numHashes, $shingleK)").as("sig"))
       .select(col("id"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(array_join(slice(pin(col("sig")), b * r + 1, lit(r)), ",")))))
+        expr(s"band_hashes(minhash_sig(toks, $numHashes, $shingleK), $bands)")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
   }
 
   /** Candidate pairs (idA < idB) from any (id, band, band_hash) table.
-    * Buckets larger than `maxBucket` are dropped (skew guard). */
-  def bucketPairs(bands: DataFrame, maxBucket: Int = 1000): DataFrame =
-    bands.groupBy(col("band"), col("band_hash"))
+    * Buckets larger than `maxBucket` are dropped (skew guard) and COUNTED:
+    * the drop is reported via an `observe()` metric (n_buckets,
+    * dropped_buckets, max_bucket_size) — attach `obs` to read it after the
+    * action; production listeners see the named metrics either way. */
+  def bucketPairs(bands: DataFrame, maxBucket: Int = 1000,
+      obs: Option[Observation] = None): DataFrame = {
+    val grouped = bands.groupBy(col("band"), col("band_hash"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
+    val metrics = Seq(
+      count(lit(1)).as("n_buckets"),
+      sum((size(col("ids")) > maxBucket).cast("long")).as("dropped_buckets"),
+      max(size(col("ids"))).as("max_bucket_size"))
+    val observed = obs match {
+      case Some(o) => grouped.observe(o, metrics.head, metrics.tail: _*)
+      case None => grouped.observe("graft.bucket_pairs", metrics.head, metrics.tail: _*)
+    }
+    observed
       .where(size(col("ids")).between(2, maxBucket))
       .select(explode(flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
+  }
+
+  /** Side output: the (band, band_hash, bucket_size) cells that
+    * [[bucketPairs]] would drop at this `maxBucket` — audit what truncation
+    * costs instead of inferring it from the metric alone. */
+  def oversizedBuckets(bands: DataFrame, maxBucket: Int = 1000): DataFrame =
+    bands.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .where(col("bucket_size") > maxBucket)
 
   /** MinHash LSH near-duplicate detection, verified with true Jaccard over
     * shingle sets (bucket-join candidates only — no cross product). */
   def minhashDedup(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.7): DataFrame = {
-    val cand = bucketPairs(minhashBands(df, idCol, textCol, shingleK, numHashes, bands))
+      threshold: Double = 0.7, maxBucket: Int = 1000,
+      obs: Option[Observation] = None): DataFrame = {
+    val cand = bucketPairs(
+      minhashBands(df, idCol, textCol, shingleK, numHashes, bands), maxBucket, obs)
     val sh = df.select(col(idCol).as("id"),
       array_distinct(shingles(split(col(textCol), "\\s+"), shingleK)).as("sh"))
     cand
@@ -93,9 +118,8 @@ object Dedup {
 
   /** 64-bit SimHash over the token multiset: bit i set iff the weighted sum
     * of token-hash bit i is positive. Pure expression, unrolled over the 64
-    * bits at plan-build time — no UDF. (At extreme scale a single custom
-    * Expression computing all bits in one array pass would cut the 64×
-    * re-traversal; unnecessary at current corpus sizes.) */
+    * bits at plan-build time — no UDF. (The native sketch.SimHashSig
+    * expression computes the same thing in one pass; this is its spec.) */
   def simhash(tokens: Column): Column = simhashOfHashes(transform(tokens, t => xxhash64(t)))
 
   /** SimHash from a pre-projected token-hash array column — callers should
@@ -111,7 +135,8 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
     * from 4×16-bit chunk equality (guarantees recall for distance ≤ 3). */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1000,
+      obs: Option[Observation] = None): DataFrame = {
     graft.sketch.SignatureExprs.register(df.sparkSession)
     val withSig = df
       .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("toks"))
@@ -120,7 +145,8 @@ object Dedup {
         array((0 until 4).map(c =>
           shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
-    val cand = bucketPairs(chunked.select(col("id"), col("band"), col("band_hash")))
+    val cand = bucketPairs(
+      chunked.select(col("id"), col("band"), col("band_hash")), maxBucket, obs)
     cand
       .join(withSig.withColumnsRenamed(Map("id" -> "id_a", "sig" -> "sig_a")), Seq("id_a"))
       .join(withSig.withColumnsRenamed(Map("id" -> "id_b", "sig" -> "sig_b")), Seq("id_b"))
@@ -129,22 +155,28 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Character n-gram Jaccard similarity between candidate pairs grouped by a
-    * cheap blocking key (default: same token-count bucket + same first
-    * token). Exact pairwise Jaccard, but only inside blocks. */
+  /** Character n-gram Jaccard near-dup pairs. Candidates come from MinHash
+    * banding over the n-gram set (`bands` independent bands of
+    * numHashes/bands minhash values each — the same guarantee structure as
+    * [[minhashDedup]], instead of a single data-dependent blocking key whose
+    * hot values blow past `maxBucket` at scale). Verification is exact
+    * Jaccard over the distinct n-gram HASH sets (sorted long arrays from the
+    * one-pass sketch.CharNGramHashes expression), so the verify join
+    * shuffles 8-byte hashes instead of raw n-gram strings; Jaccard over the
+    * 64-bit hash sets equals Jaccard over the n-gram sets (collisions
+    * negligible). */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 4, threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
-    // native one-pass n-gram expression (sketch.CharNGrams); equivalent to
-    // array_distinct(transform(sequence(1, length-n+1), i -> substring(...)))
+      n: Int = 4, threshold: Double = 0.8, numHashes: Int = 16,
+      bands: Int = 8, maxBucket: Int = 1000,
+      obs: Option[Observation] = None): DataFrame = {
+    require(numHashes % bands == 0)
     graft.sketch.SignatureExprs.register(df.sparkSession)
-    val withG = df.select(col(idCol).as("id"),
-      expr(s"char_ngrams($textCol, $n)").as("g"),
-      xxhash64(concat(
-        floor(size(split(col(textCol), "\\s+")) / 5).cast("string"), lit("|"),
-        coalesce(element_at(split(col(textCol), "\\s+"), 1), lit("")))).as("block"))
-    val bands = withG.select(col("id"), lit(0).as("band"), col("block").as("band_hash"))
-    val cand = bucketPairs(bands, maxBucket)
-    val g = withG.select(col("id"), col("g"))
+    val bandRows = df.select(col(idCol).as("id"), posexplode(expr(
+        s"band_hashes(char_minhash_sig($textCol, $numHashes, $n), $bands)")))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    val cand = bucketPairs(bandRows, maxBucket, obs)
+    val g = df.select(col(idCol).as("id"),
+      expr(s"char_ngram_hashes($textCol, $n)").as("g"))
     cand
       .join(g.withColumnsRenamed(Map("id" -> "id_a", "g" -> "g_a")), Seq("id_a"))
       .join(g.withColumnsRenamed(Map("id" -> "id_b", "g" -> "g_b")), Seq("id_b"))
@@ -154,13 +186,20 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** Embedding near-dup: cosine ≥ threshold among LSH-bucketed candidates
-    * (see Similarity.hyperplaneBuckets for the scale path). */
+  /** Embedding near-dup: cosine ≥ threshold among multi-table hyperplane-LSH
+    * candidates (nTables independent bands of planesPerTable sign bits —
+    * Similarity.lshTables). A pair is a candidate if it collides in ANY
+    * table, so recall amplifies with nTables and a single dropped/hot bucket
+    * in one table degrades recall gracefully instead of zeroing it (the old
+    * single-band 2^12-bucket variant silently returned nothing once buckets
+    * exceeded maxBucket). */
   def embeddingDedup(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, planes: Int = 12): DataFrame = {
-    val buckets = Similarity.hyperplaneBuckets(emb, idCol, vecCol, planes)
-    val cand = bucketPairs(buckets.select(col("id"), lit(0).as("band"),
-      col("bucket").as("band_hash")))
+      threshold: Double = 0.95, nTables: Int = 8, planesPerTable: Int = 8,
+      dim: Int = 64, maxBucket: Int = 1000,
+      obs: Option[Observation] = None): DataFrame = {
+    val buckets = Similarity.lshTables(emb, idCol, vecCol, nTables, planesPerTable, dim)
+      .select(col("id"), col("table").as("band"), col("bucket").as("band_hash"))
+    val cand = bucketPairs(buckets, maxBucket, obs)
     val v = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     cand
       .join(v.withColumnsRenamed(Map("id" -> "id_a", "v" -> "v_a")), Seq("id_a"))

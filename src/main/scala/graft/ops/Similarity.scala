@@ -2,14 +2,15 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over embedding columns (Array[Float]).
   *
   * - [[bruteForceTopK]] is the exact baseline: broadcast the (small) query
-  *   set, one scan of the corpus, per-row dot products via zip_with/aggregate
-  *   (codegen'd), top-k via window rank. Corpus-side shuffle is only the
-  *   k·|queries| result rows.
+  *   set, one scan of the corpus, per-row dot products via zip_with/aggregate,
+  *   then a two-phase bounded-heap top-k aggregate ([[graft.sketch
+  *   .TopKPairsAgg]]). Partial aggregation keeps ≤k pairs per query per input
+  *   partition, so the shuffle carries k·|queries|·|partitions| 16-byte pairs
+  *   — never the |corpus|×|queries| scored cross product.
   * - [[hyperplaneBuckets]] is the scale path (LSH/IVF-style): deterministic
   *   seeded random hyperplanes → sign-bit bucket id; ANN probes compare only
   *   within the query's bucket, turning 10^12-row scans into bucket lookups.
@@ -26,8 +27,22 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Final top-k of a scored (query_id, vec_id, cosine) table via the
+    * bounded-heap aggregate: partial top-k per input partition (map-side
+    * combine), k-merge on the reduce side, rank = position in the sorted
+    * result array. */
+  private[ops] def topKOfScored(scored: DataFrame, k: Int): DataFrame = {
+    graft.sketch.TopKPairsAgg.register(scored.sparkSession)
+    scored.groupBy(col("query_id"))
+      .agg(expr(s"topk_pairs(cosine, vec_id, $k)").as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Exact top-k cosine neighbours for each query vector.
-    * Output: (query_id, vec_id, cosine, rank), rank 1..k. */
+    * Output: (query_id, vec_id, cosine, rank), rank 1..k by cosine desc,
+    * ties by vec_id asc. */
   def bruteForceTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
@@ -37,9 +52,7 @@ object Similarity {
     val scored = c.join(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("cv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKOfScored(scored, k)
   }
 
   /** Deterministic seeded hyperplanes (dim × planes), generated driver-side
@@ -76,8 +89,9 @@ object Similarity {
 
   /** ANN top-k via multi-table hyperplane LSH: candidates are corpus vectors
     * sharing a (table, bucket) cell with the query in any of `nTables`
-    * tables, then exact cosine within candidates. Compared-pair count drops
-    * by ~2^planesPerTable/nTables vs brute force. */
+    * tables, then exact cosine within candidates and the same bounded-heap
+    * top-k as [[bruteForceTopK]]. Compared-pair count drops by
+    * ~2^planesPerTable/nTables vs brute force. */
   def annTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
@@ -94,8 +108,6 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("qv"), col("cv"))
       .dropDuplicates("query_id", "vec_id")
       .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("cv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKOfScored(scored, k)
   }
 }

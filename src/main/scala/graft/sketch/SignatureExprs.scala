@@ -1,10 +1,11 @@
 package graft.sketch
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for near-dup signatures (SURVEY.md §4 —
   * "custom Expression beats a Scala UDF"). The pure-Column formulations in
@@ -17,23 +18,26 @@ import org.apache.spark.sql.types._
   *  - the numHashes MinHash values by affine rehash (a·h+b) of the shingle
   *    hash — the standard trick that avoids hashing the string k times.
   *
-  * ~10× over the lambda formulation at the 10^12-doc design point this is
+  * All expressions implement `doGenCode` (the generated code calls the
+  * expression's own `compute` kernel through a reference object), so the
+  * projection stays inside WholeStageCodegen — a CodegenFallback here would
+  * knock the entire stage back to interpreted row-at-a-time execution.
+  * ~10× over the lambda formulation; at the 10^12-doc design point this is
   * the difference between a day and a week of cluster time.
   */
 case class MinHashSig(child: Expression, numHashes: Int, shingleK: Int,
     seed: Long = 42L)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
-  @transient private lazy val (as, bs) = {
-    val r = new java.util.Random(seed)
-    (Array.fill(numHashes)(r.nextLong() | 1L), Array.fill(numHashes)(r.nextLong()))
-  }
+  @transient private lazy val (as, bs) = MinHashSig.coeffs(numHashes, seed)
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  /** One-pass kernel; public so generated code can call it. */
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val toks = new Array[Long](n)
     var i = 0
@@ -65,20 +69,35 @@ case class MinHashSig(child: Expression, numHashes: Int, shingleK: Int,
     ArrayData.toArrayData(mins)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minHashSig", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $self.compute($c);")
+  }
+
   override protected def withNewChildInternal(c: Expression): MinHashSig =
     copy(child = c)
+}
+
+object MinHashSig {
+  private[sketch] def coeffs(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val r = new java.util.Random(seed)
+    (Array.fill(numHashes)(r.nextLong() | 1L), Array.fill(numHashes)(r.nextLong()))
+  }
 }
 
 /** 64-bit SimHash in one pass: per token hash, add ±1 into 64 counters,
   * assemble the sign bits. */
 case class SimHashSig(child: Expression, seed: Long = 42L)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_sig"
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(compute(v.asInstanceOf[ArrayData]))
+
+  def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     val counts = new Array[Int](64)
     var i = 0
@@ -97,7 +116,12 @@ case class SimHashSig(child: Expression, seed: Long = 42L)
     var sig = 0L
     var b = 0
     while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
-    java.lang.Long.valueOf(sig)
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simHashSig", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): SimHashSig =
@@ -108,16 +132,17 @@ case class SimHashSig(child: Expression, seed: Long = 42L)
   * for the interpreted `transform(sequence(...), i -> substring(...))`
   * formulation; same semantics: whole string when shorter than n). */
 case class CharNGrams(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "char_ngrams"
 
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  def compute(s: UTF8String): ArrayData = {
     val len = s.numChars()
     if (len < n) return ArrayData.toArrayData(Array[Any](s))
-    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val seen = new java.util.LinkedHashSet[UTF8String]()
     var i = 0
     while (i <= len - n) {
       seen.add(s.substring(i, i + n))
@@ -126,23 +151,193 @@ case class CharNGrams(child: Expression, n: Int)
     ArrayData.toArrayData(seen.toArray)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("charNGrams", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
   override protected def withNewChildInternal(c: Expression): CharNGrams =
     copy(child = c)
 }
 
+/** Sorted distinct XXH64 hashes of a string's character n-grams, in one
+  * pass. This is the long-array form used for candidate-pair verification:
+  * Jaccard over the hash sets equals Jaccard over the n-gram sets (64-bit
+  * hash collisions are negligible), and the verify join then shuffles
+  * 8-byte hashes instead of the raw n-gram strings. Whole string hashed
+  * when shorter than n (mirrors [[CharNGrams]]). */
+case class CharNGramHashes(child: Expression, n: Int, seed: Long = 42L)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_ngram_hashes"
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  def compute(s: UTF8String): ArrayData = {
+    val hs = CharNGramHashes.distinctSortedHashes(s, n, seed)
+    ArrayData.toArrayData(hs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("charNGramHashes", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharNGramHashes =
+    copy(child = c)
+}
+
+object CharNGramHashes {
+  /** XXH64 of each char n-gram; ASCII fast path hashes the bytes in place
+    * (no substring allocation), multi-byte text falls back to substring. */
+  private[sketch] def ngramHashes(s: UTF8String, n: Int, seed: Long): Array[Long] = {
+    val chars = s.numChars()
+    if (chars < n) {
+      return Array(XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed))
+    }
+    val out = new Array[Long](chars - n + 1)
+    if (s.numBytes() == chars) { // pure ASCII: char index == byte index
+      val base = s.getBaseObject
+      val off = s.getBaseOffset
+      var i = 0
+      while (i <= chars - n) {
+        out(i) = XXH64.hashUnsafeBytes(base, off + i, n, seed)
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i <= chars - n) {
+        val g = s.substring(i, i + n)
+        out(i) = XXH64.hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, seed)
+        i += 1
+      }
+    }
+    out
+  }
+
+  private[sketch] def distinctSortedHashes(s: UTF8String, n: Int, seed: Long): Array[Long] = {
+    val hs = ngramHashes(s, n, seed)
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var i = 0
+    while (i < hs.length) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    if (w == hs.length) hs else java.util.Arrays.copyOf(hs, w)
+  }
+}
+
+/** MinHash signature over a string's character n-gram set, in one pass
+  * from the raw string — the LSH banding side of n-gram Jaccard dedup.
+  * Same affine-rehash construction as [[MinHashSig]], same n-gram hashing
+  * as [[CharNGramHashes]] (so banding and verification see the same set). */
+case class CharMinHashSig(child: Expression, numHashes: Int, n: Int,
+    seed: Long = 42L)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_minhash_sig"
+
+  @transient private lazy val (as, bs) = MinHashSig.coeffs(numHashes, seed)
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  def compute(s: UTF8String): ArrayData = {
+    val hs = CharNGramHashes.ngramHashes(s, n, seed)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var q = 0
+      while (q < numHashes) {
+        val hv = as(q) * h + bs(q)
+        if (hv < mins(q)) mins(q) = hv
+        q += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("charMinHashSig", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharMinHashSig =
+    copy(child = c)
+}
+
+/** Per-band hashes of a MinHash signature: splits the signature array into
+  * `bands` equal groups of r values and XXH64-chains each group to one
+  * 64-bit band hash. Replaces the interpreted
+  * `transform(sequence(...), b -> xxhash64(array_join(slice(sig...))))`
+  * banding (which re-sliced and string-joined the signature per band). */
+case class BandHashes(child: Expression, bands: Int, seed: Long = 42L)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_hashes"
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  def compute(sig: ArrayData): ArrayData = {
+    val n = sig.numElements()
+    require(n % bands == 0, s"signature length $n not divisible by $bands bands")
+    val r = n / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = seed
+      var j = b * r
+      val end = j + r
+      while (j < end) {
+        h = XXH64.hashLong(sig.getLong(j), h)
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bandHashes", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BandHashes =
+    copy(child = c)
+}
+
 object SignatureExprs {
-  /** Register `minhash_sig(tokens, numHashes, shingleK)` and
-    * `simhash_sig(tokens)` for expr()/SQL use. Idempotent. */
+  /** Register `minhash_sig(tokens, numHashes, shingleK)`, `simhash_sig
+    * (tokens)`, `char_ngrams(s, n)`, `char_ngram_hashes(s, n)`,
+    * `char_minhash_sig(s, numHashes, n)` and `band_hashes(sig, bands)`
+    * for expr()/SQL use. Idempotent. */
   def register(spark: SparkSession): Unit = {
     def litInt(e: Expression): Int =
       e.eval(null).asInstanceOf[Number].intValue()
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "minhash_sig",
       exprs => MinHashSig(exprs.head, litInt(exprs(1)), litInt(exprs(2))),
       "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    reg.createOrReplaceTempFunction(
       "simhash_sig", exprs => SimHashSig(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    reg.createOrReplaceTempFunction(
       "char_ngrams", exprs => CharNGrams(exprs.head, litInt(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "char_ngram_hashes",
+      exprs => CharNGramHashes(exprs.head, litInt(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "char_minhash_sig",
+      exprs => CharMinHashSig(exprs.head, litInt(exprs(1)), litInt(exprs(2))),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "band_hashes",
+      exprs => BandHashes(exprs.head, litInt(exprs(1))), "built-in")
   }
 }

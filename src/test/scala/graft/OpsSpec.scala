@@ -94,6 +94,77 @@ class OpsSpec extends AnyFunSuite {
     (0 until 5).foreach(i => assert(pairs.contains((i.toLong, i + 10000L))))
   }
 
+  test("signature expressions participate in whole-stage codegen") {
+    graft.sketch.SignatureExprs.register(spark)
+    val df = docs.selectExpr("minhash_sig(split(text, '\\\\s+'), 32, 3) AS m",
+      "simhash_sig(split(text, '\\\\s+')) AS s", "char_ngrams(text, 4) AS g",
+      "char_ngram_hashes(text, 4) AS gh", "char_minhash_sig(text, 16, 4) AS cm",
+      "band_hashes(minhash_sig(split(text, '\\\\s+'), 32, 3), 8) AS b")
+    val plan = df.queryExecution.executedPlan.toString
+    // the Project carrying the signatures must be inside WholeStageCodegen
+    // (a CodegenFallback expression would print an unstarred Project)
+    val projLine = plan.linesIterator.find(_.contains("minhash_sig")).get
+    assert(projLine.trim.startsWith("*("), plan)
+    assert(df.count() === docs.count())
+  }
+
+  test("bucketPairs reports dropped oversized buckets instead of silence") {
+    import spark.implicits._
+    val bands =
+      ((0 until 50).map(i => (i.toLong, 0, 777L)) ++ // one hot bucket of 50
+        Seq((100L, 0, 1L), (101L, 0, 1L))).toDF("id", "band", "band_hash")
+    val obs = new org.apache.spark.sql.Observation()
+    val pairs = graft.ops.Dedup.bucketPairs(bands, maxBucket = 10, obs = Some(obs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((100L, 101L))) // hot bucket dropped, small one kept
+    assert(obs.get("dropped_buckets") === 1L)
+    assert(obs.get("n_buckets") === 2L)
+    assert(obs.get("max_bucket_size") === 50)
+    val dropped = graft.ops.Dedup.oversizedBuckets(bands, maxBucket = 10).collect()
+    assert(dropped.length === 1 && dropped.head.getLong(2) === 50L)
+  }
+
+  test("ngram dedup keeps recall when every doc shares its first token") {
+    // the r1 blocking key was (token-count bucket, first token): a shared hot
+    // first token used to funnel everything into a handful of buckets
+    val skewed = docsWithNearDups.select(col("doc_id"),
+      concat(lit("common "), col("text")).as("text"))
+    val obs = new org.apache.spark.sql.Observation()
+    val pairs = graft.ops.Dedup.ngramJaccard(skewed, "doc_id", "text",
+        threshold = 0.8, obs = Some(obs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 10).foreach(i => assert(pairs.contains((i.toLong, i + 10000L)),
+      s"missing planted pair $i under first-token skew"))
+    assert(obs.get("dropped_buckets") === 0L)
+  }
+
+  test("embedding dedup degrades gracefully under oversized buckets") {
+    // a 100-copy cluster overflows its bucket in every table (maxBucket=50)
+    // and is dropped VISIBLY; the spread planted pairs are still found
+    // because each pair only needs one surviving table collision
+    val planted = emb.where(col("vec_id") < 5)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    val hot = emb.where(col("vec_id") === 7).crossJoin(
+        spark.range(100).select(col("id").as("copy")))
+      .select((col("copy") + 20000).as("vec_id"), col("embedding"), col("label"))
+    val obs = new org.apache.spark.sql.Observation()
+    val pairs = graft.ops.Dedup.embeddingDedup(
+        emb.unionByName(planted).unionByName(hot), "vec_id", "embedding",
+        threshold = 0.999, maxBucket = 50, obs = Some(obs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach(i => assert(pairs.contains((i.toLong, i + 10000L))))
+    assert(obs.get("dropped_buckets").asInstanceOf[Long] >= 8L) // ≥1 per table
+  }
+
+  test("brute-force top-k plans as partial agg, not a per-query window shuffle") {
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val plan = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_topk_pairs"), plan)
+  }
+
   test("language ID: stopword heuristic classifies obvious sentences") {
     import spark.implicits._
     val df = Seq(
