@@ -336,8 +336,30 @@ object SparkEntry {
         .toDF()
         .select(col("id"), col("meta.format"), col("meta.width"),
           col("meta.height"), col("meta.nBytes"), col("meta.valid"),
-          round(element_at(col("features"), 1), 4).as("f0"))
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
         .orderBy("id")
+    }),
+    // ---- custom JSON-Schema validation (data_file_validator.py:117-132):
+    // documents rendered to JSON and validated against a user schema
+    // compiled to a Catalyst expression; messages in jsonschema grammar ----
+    "custom_schema_docs" -> ((s, dir) => {
+      val schema = graft.spec.JsonSchema.compile(
+        """{"$schema": "http://json-schema.org/draft-04/schema#",
+           |"type": "object",
+           |"properties": {"doc_id": {"type": "integer"},
+           |               "lang": {"type": "string",
+           |                        "enum": ["en", "de", "fr", "es", "zh"]},
+           |               "n_chars": {"type": "integer", "minimum": 50}},
+           |"required": ["doc_id", "lang", "n_chars"],
+           |"additionalProperties": false}""".stripMargin)
+      val docs = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("json"),
+          lit("webdoc").as("schemaType"))
+      graft.compile.CustomSchemas.violations(
+          docs, "doc_id", "json", "schemaType", Seq("webdoc" -> schema))
+        .withColumnRenamed("file", "doc_id")
+        .orderBy("doc_id", "seq")
     }),
     // ---- training-pipeline: token counting + quality signals ---------------
     "text_quality" -> ((s, dir) => {
@@ -563,6 +585,48 @@ object SparkEntry {
           AND len(list_intersect(a.g, b.g))
                 >= 0.8 * len(list_distinct(list_concat(a.g, b.g)))
         ORDER BY id_a, id_b""").replaceAll("\\s+", " ").trim,
+      // golden-constant oracle: byte-exact violation corpus of the translated
+      // reference fixtures (also pinned by HepDataRulesSpec); stored as a
+      // resource — 21 rows of VALUES
+      "hep_violations" -> {
+        val in = getClass.getResourceAsStream("/oracles/hep_violations.sql")
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      },
+      // golden-constant oracle: deterministic synthetic corpus phase counts
+      "hep_scaled_50k" -> ("""
+        SELECT * FROM (VALUES (CAST(1 AS INT), CAST(1681 AS BIGINT)),
+                              (CAST(2 AS INT), CAST(633 AS BIGINT)))
+        AS t(phase, "count") ORDER BY phase""").replaceAll("\\s+", " ").trim,
+      // the stub decoder is deterministic byte math over 'HDR0'+sha256hex —
+      // fully SQL-expressible (media bytes are ASCII; width is the constant
+      // int32('HDR0') % 4096 = 560; height is the low 12 bits of hex chars
+      // 3-4; f0 replays the double accumulation and the final float cast)
+      "multimodal_decode" -> ("""
+        WITH m AS (SELECT doc_id AS id, 'HDR0' || sha256(text) AS media FROM documents)
+        SELECT id, 'fake/v1' AS format, 560 AS width,
+               (ascii(substr(media, 7, 1)) % 16) * 256 + ascii(substr(media, 8, 1)) AS height,
+               CAST(68 AS BIGINT) AS nBytes, true AS valid,
+               round(CAST(CAST(list_sum(list_transform(generate_series(1, 68, 8),
+                   i -> ascii(substr(media, i, 1)) / 255.0)) / 68 * 8 AS REAL) AS DOUBLE), 4) AS f0
+        FROM m ORDER BY id""").replaceAll("\\s+", " ").trim,
+      // jsonschema-grammar messages over the documents table: enum + minimum
+      // violations in properties-walk order (lang before n_chars)
+      "custom_schema_docs" -> ("""
+        WITH v AS (
+          SELECT doc_id,
+            CASE WHEN lang NOT IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END AS lang_bad,
+            CASE WHEN n_chars < 50 THEN 1 ELSE 0 END AS min_bad, lang, n_chars
+          FROM documents)
+        SELECT doc_id, seq, message FROM (
+          SELECT doc_id, 0 AS seq,
+                 '''' || lang || ''' is not one of [''en'', ''de'', ''fr'', ''es'', ''zh''] in ''lang'' (expected: {''type'': ''string'', ''enum'': [''en'', ''de'', ''fr'', ''es'', ''zh'']})' AS message
+          FROM v WHERE lang_bad = 1
+          UNION ALL
+          SELECT doc_id, lang_bad AS seq,
+                 CAST(n_chars AS VARCHAR) || ' is less than the minimum of 50 in ''n_chars'' (expected: {''type'': ''integer'', ''minimum'': 50})'
+          FROM v WHERE min_bad = 1
+        ) ORDER BY doc_id, seq""").replaceAll("\\s+", " ").trim,
       // brute-force cosine over originals + deterministically planted
       // near-dups (v + 0.01 per component, double arithmetic on both sides)
       "dedup_embedding" -> ("""

@@ -181,6 +181,37 @@ object FullSubmission {
     Result(allMsgs, validData)
   }
 
+  /** [[checks]] with the schema sets COMPUTED from the docs table through a
+    * [[graft.spec.SchemaLoader]] instead of passed in — the engine-side
+    * translation of `_check_doc`'s remote-schema branch
+    * (full_submission_validator.py:331-347) backed by `load_remote_schema`
+    * (:395-421). Distinct schema URLs are config-cardinality (a handful per
+    * submission), so collecting them driver-side mirrors the reference's
+    * driver-side downloader cache, not a data-plane collect. */
+  def checksWithLoader(
+      spark: SparkSession,
+      submissionPath: String,
+      docs: DataFrame,
+      files: DataFrame,
+      dataViolations: DataFrame,
+      loader: graft.spec.SchemaLoader,
+      autoloadRemote: Boolean = true,
+      sizeLimit: Long = SizeLimit,
+      version: SchemaVersion = SchemaVersion.Default): Result = {
+    val urls: Seq[String] =
+      if (docs.columns.contains("dataSchema"))
+        docs.select(col("dataSchema")).where(col("dataSchema").isNotNull)
+          .distinct().collect().map(_.getString(0)).toSeq
+      else Nil
+    // pre-loaded schemas count as known even with autoload off (the
+    // reference's custom_data_schemas membership test, :337)
+    val known = urls.filter(loader.isLoaded).toSet
+    val resolvable =
+      if (autoloadRemote) urls.filter(loader.resolvable).toSet else known
+    checks(spark, submissionPath, docs, files, dataViolations, sizeLimit,
+      known, resolvable, autoloadRemote, version)
+  }
+
   /** Full pipeline with the reference's short-circuit: if submission.yaml
     * fails [[SubmissionRules]], only its own messages (prefixed by the
     * "is invalid HEPData YAML" header) are returned (:180-188). */

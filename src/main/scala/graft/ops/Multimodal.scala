@@ -38,16 +38,18 @@ object Multimodal {
     }
 
   /** STUB feature extractor — deterministic 8-dim signature from byte
-    * statistics (a real pipeline would run a vision encoder batch here). */
+    * statistics (a real pipeline would run a vision encoder batch here).
+    * Accumulates in double (better numerics, and bit-reproducible by the
+    * DuckDB oracle's double arithmetic), emits float like an encoder would. */
   private def featuresStub(bytes: Array[Byte]): Array[Float] = {
     if (bytes == null || bytes.isEmpty) return Array.fill(8)(0.0f)
-    val out = new Array[Float](8)
+    val acc = new Array[Double](8)
     var i = 0
     while (i < bytes.length) {
-      out(i % 8) += (bytes(i) & 0xFF) / 255.0f
+      acc(i % 8) += (bytes(i) & 0xFF) / 255.0
       i += 1
     }
-    out.map(v => v / bytes.length * 8)
+    acc.map(v => (v / bytes.length * 8).toFloat)
   }
 
   /** Decode + featurize a (id: long, media: binary) DataFrame in

@@ -145,6 +145,108 @@ class FullSubmissionSpec extends AnyFunSuite {
       || v1.exists(_.contains("Location of 'additional_resources' file '/resource/x.png'")))
   }
 
+  // ---- TestRemoteSubmission end-to-end (ref :77-119) --------------------
+
+  val refData = java.nio.file.Paths.get("/root/reference/testsuite/test_data")
+  def refFile(name: String): String =
+    new String(java.nio.file.Files.readAllBytes(refData.resolve(name)),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  val pyhfUrl = "https://scikit-hep.org/pyhf/schemas/1.0.0/workspace.json"
+  val notRealUrl = "https://hepdata.net/notarealproject/schemas/v0.0.0/thisisnotarealfile.json"
+  def registry = Map(pyhfUrl -> refFile("custom_remote_data_schema.json"))
+
+  def remoteFixture(invalid: Boolean) = {
+    import spark.implicits._
+    val resources = Seq(
+      "https://atlas.web.cern.ch/Atlas/GROUPS/PHYSICS/PAPERS/SUSY-2018-31/",
+      "Sbottom_MB2018.cxx", "HEPData_workspaces.tar.gz", "SbMB_SLHAs.tar.gz")
+    val docs = (if (invalid) Seq(
+        (1, null, false, null, resources, null),
+        (2, "RegionA/BkgOnly.json", true, "valid_file_custom_remote.json",
+          Seq.empty[String], notRealUrl),
+        (3, "RegionB/BkgOnly.json", true, "invalid_file_custom_remote.json",
+          Seq.empty[String], pyhfUrl))
+      else Seq(
+        (1, null, false, null, resources, null),
+        (2, "RegionA/BkgOnly.json", true, "valid_file_custom_remote.json",
+          Seq.empty[String], pyhfUrl)))
+      .toDF("docIdx", "name", "hasDataFile", "dataFile", "resources", "dataSchema")
+    val dir = if (invalid) "TestRemoteSubmission_invalid" else "TestRemoteSubmission"
+    val names = Seq("HEPData_workspaces.tar.gz", "SbMB_SLHAs.tar.gz",
+      "Sbottom_MB2018.cxx", "submission.yaml", "valid_file_custom_remote.json") ++
+      (if (invalid) Seq("invalid_file_custom_remote.json") else Nil)
+    val files = names.map(n => (n, 1000L, true, null.asInstanceOf[String]))
+      .toDF("fname", "size", "parseable", "parseError")
+    // data-file violations via the compiled custom-schema validator over the
+    // actual fixture contents
+    val dataDocs = (if (invalid)
+        Seq(("valid_file_custom_remote.json", refFile(s"$dir/valid_file_custom_remote.json"), notRealUrl),
+          ("invalid_file_custom_remote.json", refFile(s"$dir/invalid_file_custom_remote.json"), pyhfUrl))
+      else
+        Seq(("valid_file_custom_remote.json", refFile(s"$dir/valid_file_custom_remote.json"), pyhfUrl)))
+      .toDF("file", "json", "schemaType")
+    (docs, files, dataDocs)
+  }
+
+  test("TestRemoteSubmission: loader autoload end-to-end valid (:77-88)") {
+    val (docs, files, dataDocs) = remoteFixture(invalid = false)
+    val loader = new graft.spec.SchemaLoader(graft.spec.SchemaLoader.mapFetcher(registry))
+    loader.loadRemoteSchema(pyhfUrl)
+    val dv = graft.compile.CustomSchemas.violations(
+      dataDocs, "file", "json", "schemaType", loader.loadedSchemas.toSeq)
+    val res = FullSubmission.checksWithLoader(
+      spark, "submission.yaml", docs, files, dv, loader)
+    assert(res.messages.isEmpty, res.messages.collect().mkString("\n"))
+    assert(res.validDataFiles.collect().map(_.getString(0)).toSeq ===
+      Seq("valid_file_custom_remote.json"))
+  }
+
+  test("TestRemoteSubmission: no-autoload golden, then preload and revalidate (:91-105)") {
+    val (docs, files, dataDocs) = remoteFixture(invalid = false)
+    val loader = new graft.spec.SchemaLoader(graft.spec.SchemaLoader.mapFetcher(registry))
+    val dv0 = graft.compile.CustomSchemas.violations(
+      dataDocs, "file", "json", "schemaType", loader.loadedSchemas.toSeq)
+    val res = FullSubmission.checksWithLoader(
+      spark, "submission.yaml", docs, files, dv0, loader, autoloadRemote = false)
+    assert(res.messages.collect().map(r => (r.getAs[String]("file"),
+        r.getAs[String]("message"))).toSeq ===
+      Seq("submission.yaml" ->
+        s"Autoloading of remote schema $pyhfUrl is not allowed."))
+    // load remote schema and try again (reference: clear_all + load + validate)
+    loader.loadRemoteSchema(pyhfUrl)
+    val dv1 = graft.compile.CustomSchemas.violations(
+      dataDocs, "file", "json", "schemaType", loader.loadedSchemas.toSeq)
+    val res2 = FullSubmission.checksWithLoader(
+      spark, "submission.yaml", docs, files, dv1, loader, autoloadRemote = false)
+    assert(res2.messages.isEmpty)
+  }
+
+  test("TestRemoteSubmission_invalid: not-found + against-schema header + jsonschema details (:352-372)") {
+    val (docs, files, dataDocs) = remoteFixture(invalid = true)
+    val loader = new graft.spec.SchemaLoader(graft.spec.SchemaLoader.mapFetcher(registry))
+    loader.loadRemoteSchema(pyhfUrl)
+    val dv = graft.compile.CustomSchemas.violations(
+      dataDocs, "file", "json", "schemaType", loader.loadedSchemas.toSeq)
+    val res = FullSubmission.checksWithLoader(
+      spark, "submission.yaml", docs, files, dv, loader)
+    val byFile = res.messages.orderBy("file", "k0", "k1", "k2", "k3").collect()
+      .groupBy(_.getAs[String]("file"))
+      .view.mapValues(_.map(_.getAs[String]("message")).toSeq).toMap
+    assert(byFile.keySet ===
+      Set("submission.yaml", "invalid_file_custom_remote.json"))
+    assert(byFile("submission.yaml") ===
+      Seq(s"Remote schema $notRealUrl not found."))
+    val golden = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(getClass.getResource(
+          "/golden/pyhf_invalid_messages.txt").toURI)),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n\n").toSeq
+    assert(byFile("invalid_file_custom_remote.json") ===
+      (s"invalid_file_custom_remote.json is invalid against schema $pyhfUrl." +: golden))
+    // the doc with the unresolvable schema is excluded from valid files
+    assert(res.validDataFiles.collect().isEmpty)
+  }
+
   test("short-circuit: invalid submission.yaml returns only its messages (:180-188)") {
     import spark.implicits._
     val (docs, files, dv) = fixture()
