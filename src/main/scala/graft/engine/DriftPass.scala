@@ -121,7 +121,11 @@ object DriftPass {
   }
 
   /** Sketch `valueExpr` per partition in one aggregate pass, then test every
-    * partition against the pooled rest on the driver. */
+    * partition against the pooled rest on the driver. The pooled-rest
+    * sketches come from prefix/suffix running merges — O(P) sketch merges
+    * total instead of the naive O(P²) pool-per-partition (at P=10^5 daily
+    * partitions that's the difference between milliseconds and minutes of
+    * driver time). */
   def detect(
       spark: SparkSession,
       df: DataFrame,
@@ -129,17 +133,34 @@ object DriftPass {
       partitionCol: String = "part_id",
       ksC: Double = 1.628 /* α=0.01; sketch rank error eats into α=0.05 margin */ ): Seq[DriftReport] = {
     val sketches = sketchByPartition(spark, df, valueExpr, partitionCol)
-    sketches.map { case (p, sk, n) =>
-      val rest = KllDoublesSketch.newHeapInstance(200)
-      sketches.filter(_._1 != p).foreach { case (_, o, _) =>
-        rest.merge(KllSketchAgg.heapify(o.toByteArray))
-      }
+    val p = sketches.size
+    def snapshot(s: KllDoublesSketch): KllDoublesSketch =
+      KllSketchAgg.heapify(s.toByteArray)
+    def emptySk() = KllDoublesSketch.newHeapInstance(200)
+    // prefix(i) pools sketches [0, i); suffix(i) pools [i, P)
+    val prefix = new Array[KllDoublesSketch](p + 1)
+    prefix(0) = emptySk()
+    for (i <- 0 until p) {
+      val acc = snapshot(prefix(i))
+      acc.merge(snapshot(sketches(i)._2))
+      prefix(i + 1) = acc
+    }
+    val suffix = new Array[KllDoublesSketch](p + 1)
+    suffix(p) = emptySk()
+    for (i <- (p - 1) to 0 by -1) {
+      val acc = snapshot(suffix(i + 1))
+      acc.merge(snapshot(sketches(i)._2))
+      suffix(i) = acc
+    }
+    sketches.zipWithIndex.map { case ((part, sk, n), i) =>
+      val rest = snapshot(prefix(i))
+      rest.merge(snapshot(suffix(i + 1)))
       val m = rest.getN
       val ks = ksStatistic(sk, rest)
       val ksThr = ksThreshold(n, m, ksC)
       val (c2, dof) = chi2Statistic(sk, rest)
       val c2Thr = chi2Threshold(dof)
-      DriftReport(p, n, ks, ksThr, ks > ksThr, c2, c2Thr, c2 > c2Thr)
+      DriftReport(part, n, ks, ksThr, ks > ksThr, c2, c2Thr, c2 > c2Thr)
     }.toSeq
   }
 }

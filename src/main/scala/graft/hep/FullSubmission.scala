@@ -55,7 +55,8 @@ object FullSubmission {
       knownSchemas: Set[String] = Set.empty,
       resolvableSchemas: Set[String] = Set.empty,
       autoloadRemote: Boolean = true,
-      version: SchemaVersion = SchemaVersion.Default): Result = {
+      version: SchemaVersion = SchemaVersion.Default,
+      singleYaml: Boolean = false): Result = {
 
     val subPath = lit(submissionPath)
     val fileNames = files.select(col("fname"))
@@ -126,7 +127,7 @@ object FullSubmission {
     val checkable = withSchema
       .join(schemaBad.select(col("docIdx")), Seq("docIdx"), "left_anti")
       .where(col("parseable"))
-      .select(col("docIdx"), col("dataFile"), col("dataSchema"))
+      .select(col("docIdx"), col("name"), col("dataFile"), col("dataSchema"))
     val vByFile = dataViolations.groupBy(col("file"))
       .agg(collect_list(struct(col("seq"), col("message"))).as("vs"))
     val invalid = checkable.join(broadcast(vByFile),
@@ -135,12 +136,17 @@ object FullSubmission {
     val invalidWhat = when(col("dataSchema").isNotNull,
       concat(lit("against schema "), col("dataSchema")))
       .otherwise(lit("HEPData YAML"))
+    // single-YAML mode attributes data failures to the submission path and
+    // appends the table name: "<path> (<name>) is invalid ..." (ref :327,365)
+    val userPath = if (singleYaml) subPath else col("dataFile")
+    val tableMsg = if (singleYaml)
+      concat(lit(" ("), col("name"), lit(")")) else lit("")
     val dfInvalidHdr = invalid
-      .select(msg(col("dataFile"), col("docIdx"), 1, lit(5), lit(-1), "error",
-        concat(col("dataFile"), lit(" is invalid "), invalidWhat, lit("."))).as("m"))
+      .select(msg(userPath, col("docIdx"), 1, lit(5), lit(-1), "error",
+        concat(userPath, tableMsg, lit(" is invalid "), invalidWhat, lit("."))).as("m"))
     val dfInvalidMsgs = invalid
-      .select(col("docIdx"), col("dataFile"), explode(col("vs")).as("v"))
-      .select(msg(col("dataFile"), col("docIdx"), 1, lit(5), col("v.seq"),
+      .select(col("docIdx"), col("dataFile"), col("name"), explode(col("vs")).as("v"))
+      .select(msg(userPath, col("docIdx"), 1, lit(5), col("v.seq"),
         "error", col("v.message")).as("m"))
 
     // ---- J3: unreferenced-file sweep + MacOS `._` hint -------------------
@@ -151,9 +157,10 @@ object FullSubmission {
       .union(cleanDocs.select(col("dataFile").as("fname")))
       .union(spark.createDataFrame(Seq(Tuple1(submissionPath))).toDF("fname"))
       .distinct()
-    // unreferenced sweep only ≥ 1.1.0 (ref :200-228)
+    // unreferenced sweep only ≥ 1.1.0 and never in single-YAML mode
+    // (ref :201 `not self.single_yaml_file and schema_version >= 1.1.0`)
     val unref0 = fileNames.join(broadcast(included), Seq("fname"), "left_anti")
-    val unref = if (version >= SchemaVersion.V110) unref0
+    val unref = if (version >= SchemaVersion.V110 && !singleYaml) unref0
       else unref0.where(lit(false))
     val unrefMsgs = unref
       .select(msg(col("fname"), lit(999999), 2, lit(0), lit(0), "error",
@@ -210,6 +217,54 @@ object FullSubmission {
       if (autoloadRemote) urls.filter(loader.resolvable).toSet else known
     checks(spark, submissionPath, docs, files, dataViolations, sizeLimit,
       known, resolvable, autoloadRemote, version)
+  }
+
+  /** Single-YAML-file submission mode (ref: full_submission_validator.py:
+    * 116-142, 174-176, 252-261): one combined stream carries the submission
+    * header plus table docs with their data INLINE. The reference physically
+    * writes each table's data to `<name with ' '→'_', '/'→'-'>.yaml` and
+    * validates as usual; here the split is logical — the derived file name
+    * keys the data rows, the "directory" is exactly the derived file set,
+    * the unreferenced sweep is off, and data failures are attributed to the
+    * submission path with a " (<name>)" table suffix.
+    *
+    * `docs`: (docIdx, name, resources) — name null for the header doc.
+    * `dataRows`: HepRow-shaped, `file` = the derived data-file name.
+    * Returns (file, seq, message, level) like [[validateAll]]. */
+  def validateSingleYaml(
+      spark: SparkSession,
+      sub: DataFrame,
+      submissionPath: String,
+      docs: DataFrame,
+      dataRows: DataFrame,
+      version: SchemaVersion = SchemaVersion.Default): DataFrame = {
+    val derived = concat(
+      regexp_replace(regexp_replace(col("name"), " ", "_"), "/", "-"),
+      lit(".yaml"))
+    val docs2 = docs
+      .withColumn("hasDataFile", col("name").isNotNull)
+      .withColumn("dataFile", when(col("name").isNotNull, derived))
+    val files = docs2.where(col("hasDataFile"))
+      .select(col("dataFile").as("fname"), lit(1000L).as("size"),
+        lit(true).as("parseable"), lit(null).cast("string").as("parseError"))
+    val dataViolations = HepDataRules.violations(dataRows, version)
+      .select(col("file"), col("seq"), col("message"))
+    val subMsgs = SubmissionRules.violations(sub)
+    if (!subMsgs.isEmpty) {
+      val hdr = spark.createDataFrame(
+        Seq((submissionPath, -1, s"$submissionPath is invalid HEPData YAML.", "error")))
+        .toDF("file", "seq", "message", "level")
+      hdr.unionByName(subMsgs.select(lit(submissionPath).as("file"), col("seq"),
+        col("message"), col("level")))
+        .orderBy("seq")
+    } else {
+      checks(spark, submissionPath, docs2, files, dataViolations,
+        version = version, singleYaml = true)
+        .messages
+        .orderBy("file", "k0", "k1", "k2", "k3")
+        .select(col("file"), monotonically_increasing_id().as("seq"),
+          col("message"), col("level"))
+    }
   }
 
   /** Full pipeline with the reference's short-circuit: if submission.yaml

@@ -49,7 +49,7 @@ object HepDataRules {
 
   val IndepItemRepr: String =
     "{'type': 'object', 'properties': {'header': {'type': 'object', 'properties': {'name': {'type': 'string'}, 'units': {'type': 'string'}}, 'required': ['name'], 'additionalProperties': False}, 'values': {'type': 'array', 'items': " +
-      OneOfRepr + "}}}, 'required': ['header', 'values'], 'additionalProperties': False}"
+      OneOfRepr + "}}, 'required': ['header', 'values'], 'additionalProperties': False}"
 
   /** ref: data_file_validator.py:177 */
   val RangeRe: String =
@@ -89,31 +89,84 @@ object HepDataRules {
   /** Version-gated variant (ref: data_file_validator.py:136-142 — semantic
     * checks only for major > 0; independent-variable checks only ≥ 1.1.0). */
   def violations(df: DataFrame, version: SchemaVersion): DataFrame = {
+    // structural deltas across the published schema versions (see
+    // SchemaReprs): <1.1.0 uses the FLAT independent-value form (value:
+    // string|number, low/high: number, additionalProperties false — no
+    // oneOf), 0.1.0 additionally carries 'id' keys inside every subschema
+    // repr, and dependent-variable header/values become required only at
+    // 1.1.0. Semantic families are gated further below (ref:
+    // data_file_validator.py:136-142).
+    val pre110 = version < SchemaVersion.V110
+    val reprs = SchemaReprs.forVersion(version)
+    val indepItemRepr = if (pre110) reprs.indepItem else IndepItemRepr
+    val depValueItemRepr = if (pre110) reprs.depValueItem else DepValueItemRepr
+    val labelRepr = if (pre110) reprs.errorLabel else "{'type': 'string'}"
+
     val emptyArr = filter(
       array(vio(-1, lit(0), lit(0), lit(0), lit(0), lit(0),
         lit("No data found in file."))),
       _ => col("emptyDoc"))
 
     // ---- phase 0: schema checks --------------------------------------
+    // top-level required keys (all versions; the top-level schema carries
+    // '$schema' so jsonschema appends no "(expected: ...)" suffix)
+    val topReqArr = filter(array(
+      optVio(!col("emptyDoc") && !col("hasIndep"),
+        vio(0, lit(2), lit(0), lit(0), lit(0), lit(0),
+          lit("'independent_variables' is a required property"))),
+      optVio(!col("emptyDoc") && !col("hasDep"),
+        vio(0, lit(2), lit(1), lit(0), lit(0), lit(0),
+          lit("'dependent_variables' is a required property")))), nn(_))
+
     val indepSchemaArr = flatten(transform(col("indep"), (v, i) => {
-      val valueErrs = filter(transform(v.getField("values"), (x, j) => {
-        val schema1 = x.getField("hasValue") && !x.getField("hasLow") &&
-          !x.getField("hasHigh") && size(x.getField("extraKeys")) === 0
-        val schema2 = x.getField("hasLow") && x.getField("hasHigh") &&
-          x.getField("lowIsNum") && x.getField("highIsNum") &&
-          (!x.getField("hasValue") || !x.getField("valueIsString")) &&
-          size(x.getField("extraKeys")) === 0
-        optVio(!(schema1 || schema2),
-          vio(0, lit(0), i, j, lit(-1), lit(0),
-            concat(x.getField("instanceRepr"),
-              lit(" is not valid under any of the given schemas in 'independent_variables["),
-              str(i), lit("].values["), str(j),
-              lit(s"]' (expected: $OneOfRepr)"))))
-      }), nn(_))
+      val valueErrs = if (!pre110) {
+        filter(transform(v.getField("values"), (x, j) => {
+          val schema1 = x.getField("hasValue") && !x.getField("hasLow") &&
+            !x.getField("hasHigh") && size(x.getField("extraKeys")) === 0
+          val schema2 = x.getField("hasLow") && x.getField("hasHigh") &&
+            x.getField("lowIsNum") && x.getField("highIsNum") &&
+            (!x.getField("hasValue") || !x.getField("valueIsString")) &&
+            size(x.getField("extraKeys")) === 0
+          optVio(!(schema1 || schema2),
+            vio(0, lit(0), i, j, lit(-1), lit(0),
+              concat(x.getField("instanceRepr"),
+                lit(" is not valid under any of the given schemas in 'independent_variables["),
+                str(i), lit("].values["), str(j),
+                lit(s"]' (expected: $OneOfRepr)"))))
+        }), nn(_))
+      } else {
+        // flat form: per-property type checks then additionalProperties,
+        // in jsonschema's keyword order
+        flatten(transform(v.getField("values"), (x, j) => {
+          def typeErr(k5: Int, has: Column, isNum: Column, raw: Column,
+              prop: String, repr: String) =
+            optVio(has && !isNum,
+              vio(0, lit(0), i, j, lit(-1), lit(k5),
+                concat(lit("'"), raw,
+                  lit("' is not of type 'number' in 'independent_variables["),
+                  str(i), lit("].values["), str(j),
+                  lit(s"].$prop' (expected: $repr)"))))
+          val extras = x.getField("extraKeys")
+          filter(array(
+            typeErr(0, x.getField("hasLow"), x.getField("lowIsNum"),
+              x.getField("lowRaw"), "low", reprs.indepLow),
+            typeErr(1, x.getField("hasHigh"), x.getField("highIsNum"),
+              x.getField("highRaw"), "high", reprs.indepHigh),
+            optVio(size(extras) > 0,
+              vio(0, lit(0), i, j, lit(-1), lit(2),
+                concat(lit("Additional properties are not allowed ("),
+                  array_join(transform(array_sort(extras),
+                    ek => concat(lit("'"), ek, lit("'"))), ", "),
+                  when(size(extras) === 1, lit(" was unexpected)"))
+                    .otherwise(lit(" were unexpected)")),
+                  lit(" in 'independent_variables["), str(i), lit("].values["),
+                  str(j), lit(s"]' (expected: ${reprs.indepValueItem})"))))), nn(_))
+        }))
+      }
       val reqErr = filter(
         array(vio(0, lit(0), i, lit(9000), lit(1), lit(0),
           concat(lit("'values' is a required property in 'independent_variables["),
-            str(i), lit(s"]' (expected: $IndepItemRepr)")))),
+            str(i), lit(s"]' (expected: $indepItemRepr)")))),
         _ => !v.getField("hasValues"))
       concat(valueErrs, reqErr)
     }))
@@ -126,14 +179,14 @@ object HepDataRules {
               concat(e.getField("labelRaw"),
                 lit(" is not of type 'string' in 'dependent_variables["), str(k),
                 lit("].values["), str(i), lit("].errors["), str(j),
-                lit("].label' (expected: {'type': 'string'})"))))), nn(_))
+                lit(s"].label' (expected: $labelRepr)"))))), nn(_))
         val extras = x.getField("extraKeys")
         val valLevel = filter(array(
           optVio(!x.getField("hasValue"),
             vio(0, lit(1), k, i, lit(9000), lit(0),
               concat(lit("'value' is a required property in 'dependent_variables["),
                 str(k), lit("].values["), str(i),
-                lit(s"]' (expected: $DepValueItemRepr)")))),
+                lit(s"]' (expected: $depValueItemRepr)")))),
           optVio(size(extras) > 0,
             vio(0, lit(1), k, i, lit(9001), lit(0),
               concat(lit("Additional properties are not allowed ("),
@@ -142,15 +195,15 @@ object HepDataRules {
                 when(size(extras) === 1, lit(" was unexpected)"))
                   .otherwise(lit(" were unexpected)")),
                 lit(" in 'dependent_variables["), str(k), lit("].values["),
-                str(i), lit(s"]' (expected: $DepValueItemRepr)"))))), nn(_))
+                str(i), lit(s"]' (expected: $depValueItemRepr)"))))), nn(_))
         concat(labelErrs, valLevel)
       }))
       val varLevel = filter(array(
-        optVio(!dv.getField("hasHeader"),
+        optVio(lit(!pre110) && !dv.getField("hasHeader"),
           vio(0, lit(1), k, lit(9000), lit(0), lit(0),
             concat(lit("'header' is a required property in 'dependent_variables["),
               str(k), lit(s"]' (expected: $DepItemRepr)")))),
-        optVio(!dv.getField("hasValues"),
+        optVio(lit(!pre110) && !dv.getField("hasValues"),
           vio(0, lit(1), k, lit(9000), lit(1), lit(0),
             concat(lit("'values' is a required property in 'dependent_variables["),
               str(k), lit(s"]' (expected: $DepItemRepr)"))))), nn(_))
@@ -286,11 +339,35 @@ object HepDataRules {
     }))
 
     val noV = slice(emptyArr, 1, 0) // typed empty array
-    val all = concat(emptyArr, indepSchemaArr, depSchemaArr,
+    val all = concat(emptyArr, topReqArr, indepSchemaArr, depSchemaArr,
       if (version.major > 0) errValArr else noV,
       if (version.major > 0) lengthArr else noV,
       if (version >= SchemaVersion.V110) indepArr else noV)
-    df.select(col("file"), array_sort(all).as("_v"))
+
+    // the reference wraps the semantic checks in one `try` and, when they
+    // raise with NO other message recorded for the file, emits the
+    // unexpected-error apology (data_file_validator.py:143-152). Raises in
+    // our model: a dep var without 'values' (check_error_values KeyError),
+    // 'independent_variables' missing when the length check runs, or (≥1.1.0)
+    // an indep var without 'values' in phase 3.
+    val exceptionOccurred: Column =
+      if (version.major == 0) lit(false)
+      else (col("hasDep") && firstBadDep =!= 0) ||
+        (lengthRan && !col("hasIndep")) ||
+        (if (version >= SchemaVersion.V110)
+          phase23Gate && firstBadIndep =!= 0 else lit(false))
+    val unexpectedV = vio(4, lit(0), lit(0), lit(0), lit(0), lit(0),
+      concat(lit("An unexpected error occurred whilst validating "),
+        col("file"),
+        lit(". Please contact info@hepdata.net if this issue recurs.")))
+
+    // two-step select: `_v0` is referenced three times below, which is the
+    // CollapseProject barrier keeping the big rule array single-evaluated
+    df.select(col("file"), array_sort(all).as("_v0"),
+        exceptionOccurred.as("_exc"))
+      .select(col("file"),
+        when(col("_exc") && size(col("_v0")) === 0,
+          array(unexpectedV)).otherwise(col("_v0")).as("_v"))
       .where(size(col("_v")) > 0)
       .select(col("file"), posexplode(col("_v")))
       .select(col("file"), col("pos").as("seq"),
@@ -299,8 +376,10 @@ object HepDataRules {
   }
 
   /** Per-file verdict: valid ⇔ no violations (ref: __init__.py:124-132). */
-  def verdicts(df: DataFrame): DataFrame = {
-    val v = violations(df).groupBy(col("file"))
+  def verdicts(df: DataFrame): DataFrame = verdicts(df, SchemaVersion.Default)
+
+  def verdicts(df: DataFrame, version: SchemaVersion): DataFrame = {
+    val v = violations(df, version).groupBy(col("file"))
       .agg(count(lit(1)).as("n_violations"))
     df.select(col("file")).distinct()
       .join(v, Seq("file"), "left")

@@ -89,12 +89,14 @@ class HepDataRulesSpec extends AnyFunSuite {
   test("version gates: <1.1.0 skips indep-var checks, major=0 skips all semantic checks") {
     import spark.implicits._
     import graft.hep.SchemaVersion
-    // 1.0.0: the 3 oneOf schema errors remain, the 7 semantic ones drop
+    // 1.0.0: flat value form (no oneOf) — only the low/high type errors of
+    // values[2] remain, the 7 semantic ones drop (see HepVersionMatrixSpec
+    // for the full per-version goldens)
     val v100 = HepDataRules.violations(
       Seq(HepFixtures.invalidIndepVars).toDS().toDF(), SchemaVersion.parse("1.0.0"))
       .collect().map(_.getAs[String]("message"))
-    assert(v100.length === 3)
-    assert(v100.forall(_.contains("is not valid under any of the given schemas")))
+    assert(v100.length === 2)
+    assert(v100.forall(_.contains("is not of type 'number'")))
     // 0.1.0: error-value checks also skipped → zero-uncertainty file passes
     val v0 = HepDataRules.violations(
       Seq(HepFixtures.zeroUncertainty).toDS().toDF(), SchemaVersion.parse("0.1.0"))
