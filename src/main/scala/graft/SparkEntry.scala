@@ -285,7 +285,7 @@ object SparkEntry {
         .select((col("vec_id") + 100000).as("vec_id"),
           transform(col("v"), x => x + lit(0.01)).as("v"))
       graft.ops.Dedup.embeddingDedup(e.unionByName(planted), "vec_id", "v",
-          threshold = 0.99, nTables = 8, planesPerTable = 8)
+          threshold = 0.99, nTables = 8, planesPerTable = 12)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),

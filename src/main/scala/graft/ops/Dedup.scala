@@ -97,22 +97,26 @@ object Dedup {
       .where(col("bucket_size") > maxBucket)
 
   /** MinHash LSH near-duplicate detection, verified with true Jaccard over
-    * shingle sets (bucket-join candidates only — no cross product). */
+    * shingle sets (bucket-join candidates only — no cross product). The
+    * verify stage carries sorted 64-bit shingle-hash sets (one-pass
+    * sketch.ShingleHashes) and merge-scans them (sketch.SortedJaccard), so
+    * the candidate join shuffles 8-byte hashes instead of shingle strings
+    * and never builds per-pair hash sets. */
   def minhashDedup(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.7, maxBucket: Int = 1000,
       obs: Option[Observation] = None): DataFrame = {
+    graft.sketch.SignatureExprs.register(df.sparkSession)
     val cand = bucketPairs(
       minhashBands(df, idCol, textCol, shingleK, numHashes, bands), maxBucket, obs)
     val sh = df.select(col(idCol).as("id"),
-      array_distinct(shingles(split(col(textCol), "\\s+"), shingleK)).as("sh"))
+      expr(s"shingle_hashes(split($textCol, '\\\\s+'), $shingleK)").as("sh"))
     cand
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        expr("sorted_jaccard(sh_a, sh_b)").as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -166,9 +170,16 @@ object Dedup {
     * 64-bit hash sets equals Jaccard over the n-gram sets (collisions
     * negligible). */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 4, threshold: Double = 0.8, numHashes: Int = 16,
-      bands: Int = 8, maxBucket: Int = 1000,
+      n: Int = 4, threshold: Double = 0.8, numHashes: Int = 36,
+      bands: Int = 6, maxBucket: Int = 1000,
       obs: Option[Observation] = None): DataFrame = {
+    // r = numHashes/bands = 6 minhashes per band: at the 0.8 default
+    // threshold a J=0.8 pair collides per band with prob 0.8^6 ≈ 0.26 (≥1 of
+    // 6 bands: 84%, ~100% for the J≥0.9 pairs real corpora dedup), while a
+    // J=0.5 template-sibling pair stays out (0.5^6 ≈ 1.6%). Wider bands
+    // (r=2) admitted ~100× more candidates than true pairs on the
+    // template-heavy test corpus — the verify join, not the banding, is
+    // what must stay small.
     require(numHashes % bands == 0)
     graft.sketch.SignatureExprs.register(df.sparkSession)
     val bandRows = df.select(col(idCol).as("id"), posexplode(expr(
@@ -181,8 +192,7 @@ object Dedup {
       .join(g.withColumnsRenamed(Map("id" -> "id_a", "g" -> "g_a")), Seq("id_a"))
       .join(g.withColumnsRenamed(Map("id" -> "id_b", "g" -> "g_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-          size(array_union(col("g_a"), col("g_b")))).as("jaccard"))
+        expr("sorted_jaccard(g_a, g_b)").as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 

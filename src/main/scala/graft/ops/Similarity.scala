@@ -74,16 +74,17 @@ object Similarity {
 
   /** Multi-table LSH bucket ids: (id, table, bucket) — one row per table,
     * each table using independently-seeded hyperplanes. Standard LSH recall
-    * amplification: a true neighbour is found if it collides in ANY table. */
+    * amplification: a true neighbour is found if it collides in ANY table.
+    * Buckets come from the one-pass codegen'd sketch.HyperplaneSigs kernel
+    * (bit-identical to the pure-Column `dot(vec, typedLit(plane)) > 0`
+    * formulation, which evaluated interpreted HigherOrderFunctions
+    * nTables×planesPerTable times per row). */
   def lshTables(df: DataFrame, idCol: String, vecCol: String,
       nTables: Int, planesPerTable: Int, dim: Int, seed: Long = 42L): DataFrame = {
-    val bucketCols = (0 until nTables).map { t =>
-      val ps = planes(dim, planesPerTable, seed + t)
-      ps.zipWithIndex.map { case (p, i) =>
-        when(dot(col(vecCol), typedLit(p)) > 0, lit(1L << i)).otherwise(0L)
-      }.reduce((a, b) => a.bitwiseOR(b))
-    }
-    df.select(col(idCol).as("id"), posexplode(array(bucketCols: _*)))
+    import org.apache.spark.sql.graft.ColumnBridge
+    val sigs = ColumnBridge.column(graft.sketch.HyperplaneSigs(
+      ColumnBridge.expression(col(vecCol)), nTables, planesPerTable, dim, seed))
+    df.select(col(idCol).as("id"), posexplode(sigs))
       .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
   }
 

@@ -312,6 +312,176 @@ case class BandHashes(child: Expression, bands: Int, seed: Long = 42L)
     copy(child = c)
 }
 
+/** Sorted distinct k-token shingle hashes — the SET underlying
+  * [[MinHashSig]]'s signature (same XXH64 token hashing, same
+  * rotate-combine window hash), exposed for exact Jaccard verification of
+  * LSH candidates. Jaccard over these 64-bit hash sets equals Jaccard over
+  * the shingle-string sets (collisions negligible), and the verify join
+  * then shuffles 8-byte hashes instead of reassembled shingle strings. */
+case class ShingleHashes(child: Expression, shingleK: Int, seed: Long = 42L)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val toks = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      toks(i) = if (s == null) 0L
+        else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+      i += 1
+    }
+    val nw = math.max(n - shingleK + 1, 1)
+    val hs = new Array[Long](nw)
+    var w = 0
+    while (w < nw) {
+      var h = 0x9E3779B97F4A7C15L
+      var j = w
+      val end = math.min(w + shingleK, n)
+      while (j < end) {
+        h = java.lang.Long.rotateLeft(h ^ toks(j), 27) * 0x165667B19E3779F9L
+        j += 1
+      }
+      hs(w) = h
+      w += 1
+    }
+    java.util.Arrays.sort(hs)
+    var wp = 0
+    var k = 0
+    while (k < hs.length) {
+      if (wp == 0 || hs(k) != hs(wp - 1)) { hs(wp) = hs(k); wp += 1 }
+      k += 1
+    }
+    ArrayData.toArrayData(if (wp == hs.length) hs else java.util.Arrays.copyOf(hs, wp))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("shingleHashes", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
+/** Exact Jaccard of two SORTED-distinct long arrays by one merge scan —
+  * |A∩B| / (|A|+|B|−|A∩B|) with no hash-set allocation (replaces
+  * `size(array_intersect)/size(array_union)` on the candidate-verify hot
+  * path, which builds two hash sets per pair). */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sorted_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("sortedJaccard", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $self.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Per-table hyperplane-LSH bucket ids of an embedding vector, in one pass:
+  * `nTables` independent tables of `planesPerTable` seeded Gaussian
+  * hyperplanes; bit i of table t's bucket is the sign of dot(vec,
+  * plane(t,i)). Bit-identical to the pure-Column formulation in
+  * graft.ops.Similarity.lshTables (same plane sequence via
+  * Similarity.planes, same ascending-index double summation) but ~50×
+  * cheaper: the zip_with/aggregate HigherOrderFunctions are interpreted AND
+  * CodegenFallback, so the Column version paid per-element virtual calls ×
+  * nTables×planesPerTable and knocked the whole projection out of
+  * whole-stage codegen. */
+case class HyperplaneSigs(child: Expression, nTables: Int, planesPerTable: Int,
+    dim: Int, seed: Long = 42L)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_sigs"
+
+  // flattened [table][plane][component] — identical sequence to
+  // Similarity.planes(dim, planesPerTable, seed + t)
+  @transient private lazy val planes: Array[Double] = {
+    val out = new Array[Double](nTables * planesPerTable * dim)
+    var t = 0
+    while (t < nTables) {
+      val rnd = new scala.util.Random(seed + t)
+      var i = 0
+      while (i < planesPerTable * dim) {
+        out(t * planesPerTable * dim + i) = rnd.nextGaussian()
+        i += 1
+      }
+      t += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  def compute(vec: ArrayData): ArrayData = {
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    val n = math.min(vec.numElements(), dim)
+    val x = new Array[Double](n)
+    var k = 0
+    while (k < n) {
+      x(k) = et match {
+        case FloatType => vec.getFloat(k).toDouble
+        case DoubleType => vec.getDouble(k)
+        case _ => vec.getLong(k).toDouble
+      }
+      k += 1
+    }
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var i = 0
+      while (i < planesPerTable) {
+        val off = (t * planesPerTable + i) * dim
+        var acc = 0.0
+        var j = 0
+        while (j < n) { acc += x(j) * planes(off + j); j += 1 }
+        if (acc > 0) bucket |= (1L << i)
+        i += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("hyperplaneSigs", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneSigs =
+    copy(child = c)
+}
+
 object SignatureExprs {
   /** Register `minhash_sig(tokens, numHashes, shingleK)`, `simhash_sig
     * (tokens)`, `char_ngrams(s, n)`, `char_ngram_hashes(s, n)`,
@@ -339,5 +509,11 @@ object SignatureExprs {
     reg.createOrReplaceTempFunction(
       "band_hashes",
       exprs => BandHashes(exprs.head, litInt(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle_hashes",
+      exprs => ShingleHashes(exprs.head, litInt(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sorted_jaccard",
+      exprs => SortedJaccard(exprs(0), exprs(1)), "built-in")
   }
 }
