@@ -310,11 +310,29 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    // ---- similarity search: IVF ANN (sampled centroids; rows-only) ---------
+    "ivf_topk" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val queries = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.ops.Similarity.ivfTopK(e, "vec_id", "embedding",
+          queries, "qid", "qv", k = 10, nCells = 16, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // ---- text analysis: language ID (DuckDB oracle) ------------------------
     "lang_id" -> ((s, dir) => {
       graft.ops.TextOps.languageId(s.read.parquet(t(dir, "documents")), "text")
         .select(col("doc_id"), col("score_de"), col("score_en"),
           col("score_es"), col("score_fr"), col("lang_pred"))
+        .orderBy("doc_id")
+    }),
+    // ---- text analysis: N-language dimension-table language ID (oracle) ----
+    "lang_id_dim" -> ((s, dir) => {
+      val langs = graft.ops.TextOps.ExtendedStopwordSets.keys.toSeq.sorted
+      graft.ops.TextOps.languageIdDim(
+          s.read.parquet(t(dir, "documents")).select("doc_id", "text"), "text")
+        .select((col("doc_id") +: langs.map(l => col(s"score_$l"))) :+ col("lang_pred"): _*)
         .orderBy("doc_id")
     }),
     // ---- text analysis: fingerprints + BPE-ish token counts (oracle) -------
@@ -552,6 +570,21 @@ object SparkEntry {
                CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
                  / len(string_split(text, ' ')) AS stop_ratio
         FROM documents ORDER BY doc_id""").replaceAll("\\s+", " ").trim,
+      // generated from the SAME ExtendedStopwordSets dimension as the query
+      "lang_id_dim" -> {
+        val dim = graft.ops.TextOps.ExtendedStopwordSets
+        val langs = dim.keys.toSeq.sorted
+        val scoreSelects = langs.map { l =>
+          val words = dim(l).map(w => s"'$w'").mkString(", ")
+          s"CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x IN ($words))) AS BIGINT) AS s_$l"
+        }.mkString(", ")
+        val g = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+        val caseChain = langs.map(l => s"WHEN s_$l = $g THEN '$l'").mkString(" ")
+        s"""SELECT doc_id, ${langs.map(l => s"s_$l AS score_$l").mkString(", ")},
+           | CASE WHEN $g = 0 THEN 'und' $caseChain END AS lang_pred
+           | FROM (SELECT doc_id, $scoreSelects FROM documents)
+           | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+      },
       // brute-force word-3-shingle Jaccard over all pairs — the LSH result
       // must equal the exact answer at this scale (all true pairs sit at
       // J ≥ 0.9, far above the banding's miss region)

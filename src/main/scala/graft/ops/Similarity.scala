@@ -88,6 +88,38 @@ object Similarity {
       .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
   }
 
+  /** IVF (inverted-file) ANN top-k: `nCells` centroids are a deterministic
+    * seeded uniform sample of the corpus (the vectors with the smallest
+    * xxhash64(id) — a one-pass TopK, no k-means iterations needed for a
+    * recall baseline), collected once on the driver (nCells·dim doubles)
+    * and shipped inside the codegen'd sketch.IvfCells expression. Every
+    * corpus vector takes its single nearest cell; each query probes its
+    * `nprobe` nearest cells; exact cosine + bounded-heap top-k within the
+    * probed cells. Scale shape: centroids broadcast, corpus shuffles once
+    * on cell id (or is bucketed by it at write time), each query touches
+    * ~nprobe/nCells of the corpus instead of scanning it. */
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int = 10, nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val centroids: Seq[Seq[Double]] = corpus
+      .select(col(corpusVec).cast("array<double>").as("v"))
+      .withColumn("h", xxhash64(to_json(col("v"))))
+      .orderBy("h").limit(nCells)
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    def cells(vec: String, p: Int) = ColumnBridge.column(
+      graft.sketch.IvfCells(ColumnBridge.expression(col(vec)), centroids, p))
+    val cb = corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("cv"))
+      .withColumn("cell", element_at(cells("cv", 1), 1))
+    val qb = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+      .withColumn("cell", explode(cells("qv", nprobe)))
+    val scored = cb.join(broadcast(qb), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("cv")).as("cosine"))
+    topKOfScored(scored, k)
+  }
+
   /** ANN top-k via multi-table hyperplane LSH: candidates are corpus vectors
     * sharing a (table, bucket) cell with the query in any of `nTables`
     * tables, then exact cosine within candidates and the same bounded-heap

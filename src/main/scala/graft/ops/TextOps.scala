@@ -18,6 +18,15 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "dans", "une", "que"),
     "es" -> Seq("el", "la", "los", "y", "es", "no", "por", "para", "una", "con"))
 
+  /** Extended language dimension for the at-scale path — same shape as
+    * [[StopwordSets]], more languages; at 100 TB this table comes from a
+    * catalog and is broadcast into the one-pass scorer. */
+  val ExtendedStopwordSets: Map[String, Seq[String]] = StopwordSets ++ Map(
+    "it" -> Seq("il", "la", "di", "e", "che", "non", "per", "una", "con", "sono"),
+    "pt" -> Seq("o", "a", "de", "e", "que", "não", "para", "uma", "com", "os"),
+    "nl" -> Seq("de", "het", "een", "en", "van", "is", "niet", "met", "voor", "dat"),
+    "pl" -> Seq("i", "w", "nie", "na", "się", "jest", "z", "do", "to", "że"))
+
   private def toks(textCol: Column): Column = split(lower(textCol), "\\s+")
 
   /** Per-language stopword-hit scores + argmax prediction.
@@ -32,6 +41,30 @@ object TextOps {
     val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
       .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
     scored.withColumn("lang_pred",
+      when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und")))
+  }
+
+  /** Language ID over an arbitrary word→language dimension in ONE token
+    * pass (the scale path for [[languageId]]): the dimension is broadcast
+    * inside the codegen'd sketch.LangScores expression, so cost is
+    * O(tokens) hash lookups regardless of language count — the pure-Column
+    * spelling pays one interpreted filter pass per language. A word owned
+    * by several languages scores all of them. Adds score_<lang> columns and
+    * `lang_pred` (ties: lexicographically smallest language; all-zero:
+    * 'und'). */
+  def languageIdDim(df: DataFrame, textCol: String,
+      dim: Map[String, Seq[String]] = ExtendedStopwordSets): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val langs = dim.keys.toSeq.sorted
+    val scores = ColumnBridge.column(graft.sketch.LangScores(
+      ColumnBridge.expression(toks(col(textCol))), langs.map(dim)))
+    val withScores = df.withColumn("_scores", scores)
+      .select((df.columns.map(col) ++ langs.zipWithIndex.map { case (l, i) =>
+        element_at(col("_scores"), i + 1).as(s"score_$l")
+      }): _*)
+    val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
+      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    withScores.withColumn("lang_pred",
       when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und")))
   }
 

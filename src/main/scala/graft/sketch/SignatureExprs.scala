@@ -482,6 +482,119 @@ case class HyperplaneSigs(child: Expression, nTables: Int, planesPerTable: Int,
     copy(child = c)
 }
 
+/** Per-language stopword-hit scores of a token array in ONE pass over the
+  * tokens: the word→languages dimension (built once on the driver,
+  * broadcast inside the expression — the "broadcast dimension table"
+  * shape) maps each token to every language claiming it; output is
+  * array<long> of hit counts in language order. The pure-Column
+  * formulation (one interpreted `filter(tokens, isin(...))` per language)
+  * costs a full token pass × |languages| and breaks whole-stage codegen;
+  * this is O(tokens) hash lookups regardless of language count. */
+case class LangScores(child: Expression, wordLists: Seq[Seq[String]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lang_scores"
+
+  @transient private lazy val wordToLangs: java.util.HashMap[UTF8String, Array[Int]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    wordLists.zipWithIndex.foreach { case (words, li) =>
+      words.foreach { w =>
+        val k = UTF8String.fromString(w)
+        val prev = m.get(k)
+        m.put(k, if (prev == null) Array(li) else prev :+ li)
+      }
+    }
+    m
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  def compute(toks: ArrayData): ArrayData = {
+    val scores = new Array[Long](wordLists.size)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null) {
+        val langs = wordToLangs.get(t)
+        if (langs != null) {
+          var j = 0
+          while (j < langs.length) { scores(langs(j)) += 1L; j += 1 }
+        }
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(scores)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("langScores", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): LangScores =
+    copy(child = c)
+}
+
+/** The `nprobe` nearest IVF cells of a vector (by cosine against the
+  * driver-trained centroid list), in one codegen'd pass. Centroids are
+  * pre-normalized at construction so the per-cell score is a plain dot
+  * product. Used by Similarity.ivfTopK: corpus vectors take their single
+  * nearest cell, queries probe their `nprobe` nearest. */
+case class IvfCells(child: Expression, centroids: Seq[Seq[Double]], nprobe: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_cells"
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map { c =>
+      val a = c.toArray
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n == 0) a else a.map(_ / n)
+    }.toArray
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  def compute(vec: ArrayData): ArrayData = {
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    val n = vec.numElements()
+    val x = new Array[Double](n)
+    var k = 0
+    while (k < n) {
+      x(k) = et match {
+        case FloatType => vec.getFloat(k).toDouble
+        case DoubleType => vec.getDouble(k)
+        case _ => vec.getLong(k).toDouble
+      }
+      k += 1
+    }
+    val scores = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      val m = math.min(n, ct.length)
+      var acc = 0.0
+      var j = 0
+      while (j < m) { acc += x(j) * ct(j); j += 1 }
+      scores(c) = acc
+      c += 1
+    }
+    val p = math.min(nprobe, cents.length)
+    val order = scores.zipWithIndex.sortBy { case (s, i) => (-s, i) }
+    ArrayData.toArrayData(order.take(p).map(_._2))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("ivfCells", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): IvfCells =
+    copy(child = c)
+}
+
 object SignatureExprs {
   /** Register `minhash_sig(tokens, numHashes, shingleK)`, `simhash_sig
     * (tokens)`, `char_ngrams(s, n)`, `char_ngram_hashes(s, n)`,

@@ -138,6 +138,28 @@ class OpsSpec extends AnyFunSuite {
     assert(obs.get("dropped_buckets") === 0L)
   }
 
+  test("IVF ANN: planted self-dup ranks first; recall vs brute force") {
+    val planted = emb.where(col("vec_id") < 5)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(planted)
+    val queries = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val ivf = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qv", k = 10, nCells = 16, nprobe = 4)
+    val rows = ivf.collect()
+    // identical planted vector lands in the same cell -> exact top hit
+    (0 until 5).foreach { i =>
+      val first = rows.filter(r => r.getLong(0) == i && r.getInt(3) == 1).head
+      assert(first.getLong(1) === i + 10000L, s"query $i")
+    }
+    def asSet(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = asSet(Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qv", k = 10).collect())
+    val recall = exact.intersect(asSet(rows)).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall too low for nprobe/nCells = 1/4")
+  }
+
   test("embedding dedup degrades gracefully under oversized buckets") {
     // a 100-copy cluster overflows its bucket in every table (maxBucket=50)
     // and is dropped VISIBLY; the spread planted pairs are still found
@@ -176,6 +198,32 @@ class OpsSpec extends AnyFunSuite {
     val out = TextOps.languageId(df, "text").select("id", "lang_pred")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out === Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "und"))
+  }
+
+  test("language ID at scale: one-pass dimension scorer matches per-language filters") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat is in the house and the dog is with a friend"),
+      (2L, "il gatto che non sono per una con la di e che non"),
+      (3L, "o gato que não para uma com os o a de e"),
+      (4L, "de kat het een en van is niet met voor dat"),
+      (5L, "w nie na się jest z do to że i w nie"),
+      (6L, "zzz qqq www")).toDF("id", "text")
+    val out = TextOps.languageIdDim(df, "text").select("id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "en", 2L -> "it", 3L -> "pt", 4L -> "nl",
+      5L -> "pl", 6L -> "und"))
+    // scores agree with the pure-Column per-language filter formulation
+    val dims = TextOps.ExtendedStopwordSets
+    val viaFilter = dims.keys.toSeq.sorted.map { l =>
+      df.select(sum(size(filter(split(lower(col("text")), "\\s+"),
+        x => x.isin(dims(l).map(lit): _*)))).cast("long")).collect()(0).getLong(0)
+    }
+    val viaKernel = dims.keys.toSeq.sorted.map { l =>
+      TextOps.languageIdDim(df, "text")
+        .select(sum(col(s"score_$l"))).collect()(0).getLong(0)
+    }
+    assert(viaKernel === viaFilter)
   }
 
   test("quality score + token counts + fingerprint are deterministic and sane") {
