@@ -42,7 +42,8 @@ object JsonSchema {
       minItems: Option[Long], maxItems: Option[Long],
       uniqueItems: Boolean,
       repr: String,          // python repr of the original schema dict
-      hasSchemaKey: Boolean) // '$schema' present ⇒ no "(expected: ...)" suffix
+      hasSchemaKey: Boolean, // '$schema' present ⇒ no "(expected: ...)" suffix
+      keyOrder: Seq[String]) // original dict key order — drives error order
       extends Serializable {
     @transient lazy val propMap: Map[String, Compiled] = properties.toMap
     @transient lazy val compiledPattern: Option[java.util.regex.Pattern] =
@@ -108,7 +109,8 @@ object JsonSchema {
         maxItems = num("maxItems").map(_.toLong),
         uniqueItems = f.get("uniqueItems").contains(JBool(true)),
         repr = PyRepr.render(j),
-        hasSchemaKey = f.contains("$schema"))
+        hasSchemaKey = f.contains("$schema"),
+        keyOrder = o.obj.map(_._1))
     case JBool(true) => compile(JObject())
     case other =>
       throw new IllegalArgumentException(s"unsupported schema node: $other")
@@ -175,119 +177,158 @@ object JsonSchema {
     Err(msg, path.reverse, validator,
       schema, schema.types.exists(_.exists(typeMatches(_, doc))), context)
 
-  /** `rpath` is the path in REVERSE (cheap prepend). */
+  /** `rpath` is the path in REVERSE (cheap prepend). Keyword checks run in
+    * the schema dict's ORIGINAL key order — jsonschema iterates
+    * `schema.items()`, so e.g. a schema written {properties, required}
+    * emits nested property errors BEFORE its own required errors, and one
+    * written {required, properties} the other way around. */
   private def walk(s: Compiled, v: JValue, rpath: List[Either[Int, String]],
       out: scala.collection.mutable.Growable[Err]): Unit = {
-
-    s.types.foreach { ts =>
-      if (!ts.exists(typeMatches(_, v)))
-        out += err(s, v, rpath, "type",
-          s"${PyRepr.render(v)} is not of type ${ts.map(PyRepr.str).mkString(", ")}")
-    }
-    s.enumVals.foreach { es =>
-      if (!es.exists(jsonEq(_, v)))
-        out += err(s, v, rpath, "enum",
-          s"${PyRepr.render(v)} is not one of ${PyRepr.render(JArray(es.toList))}")
-    }
-    s.constVal.foreach { c =>
-      if (!jsonEq(c, v))
-        out += err(s, v, rpath, "const", s"${PyRepr.render(c)} was expected")
-    }
-
-    v match {
-      case JObject(fields) =>
-        val keys = fields.map(_._1).toSet
-        s.required.foreach { r =>
-          if (!keys.contains(r))
-            out += err(s, v, rpath, "required",
-              s"${PyRepr.str(r)} is a required property")
-        }
-        if (!s.additionalAllowed) {
-          val extras = keys.diff(s.properties.map(_._1).toSet).toSeq.sorted
+    s.keyOrder.foreach {
+      case "type" => s.types.foreach { ts =>
+        if (!ts.exists(typeMatches(_, v)))
+          out += err(s, v, rpath, "type",
+            s"${PyRepr.render(v)} is not of type ${ts.map(PyRepr.str).mkString(", ")}")
+      }
+      case "enum" => s.enumVals.foreach { es =>
+        if (!es.exists(jsonEq(_, v)))
+          out += err(s, v, rpath, "enum",
+            s"${PyRepr.render(v)} is not one of ${PyRepr.render(JArray(es.toList))}")
+      }
+      case "const" => s.constVal.foreach { c =>
+        if (!jsonEq(c, v))
+          out += err(s, v, rpath, "const", s"${PyRepr.render(c)} was expected")
+      }
+      case "required" => v match {
+        case JObject(fields) =>
+          val keys = fields.map(_._1).toSet
+          s.required.foreach { r =>
+            if (!keys.contains(r))
+              out += err(s, v, rpath, "required",
+                s"${PyRepr.str(r)} is a required property")
+          }
+        case _ => ()
+      }
+      case "additionalProperties" => v match {
+        case JObject(fields) if !s.additionalAllowed =>
+          val extras = fields.map(_._1).toSet
+            .diff(s.properties.map(_._1).toSet).toSeq.sorted
           if (extras.nonEmpty) {
             val verb = if (extras.size == 1) "was" else "were"
             out += err(s, v, rpath, "additionalProperties",
               s"Additional properties are not allowed (${extras.map(PyRepr.str).mkString(", ")} $verb unexpected)")
           }
-        }
-        s.properties.foreach { case (k, sub) =>
-          fields.find(_._1 == k).foreach { case (_, fv) =>
-            walk(sub, fv, Right(k) :: rpath, out)
+        case _ => ()
+      }
+      case "properties" => v match {
+        case JObject(fields) =>
+          s.properties.foreach { case (k, sub) =>
+            fields.find(_._1 == k).foreach { case (_, fv) =>
+              walk(sub, fv, Right(k) :: rpath, out)
+            }
           }
-        }
-      case JArray(xs) =>
-        s.minItems.foreach { n =>
-          if (xs.size < n)
-            out += err(s, v, rpath, "minItems", s"${PyRepr.render(v)} is too short")
-        }
-        s.maxItems.foreach { n =>
-          if (xs.size > n)
-            out += err(s, v, rpath, "maxItems",
-              s"${PyRepr.render(v)} is too long")
-        }
-        if (s.uniqueItems && xs.distinct.size != xs.size)
-          out += err(s, v, rpath, "uniqueItems",
-            s"${PyRepr.render(v)} has non-unique elements")
-        s.items.foreach { sub =>
+        case _ => ()
+      }
+      case "items" => v match {
+        case JArray(xs) => s.items.foreach { sub =>
           xs.zipWithIndex.foreach { case (x, i) =>
             walk(sub, x, Left(i) :: rpath, out)
           }
         }
-      case JString(str) =>
-        s.pattern.foreach { p =>
+        case _ => ()
+      }
+      // jsonschema phrases the ==1/==0 bounds specially ("should be
+      // non-empty" / "is expected to be empty") for both items and length
+      case "minItems" => v match {
+        case xs: JArray => s.minItems.foreach { n =>
+          if (xs.arr.size < n)
+            out += err(s, v, rpath, "minItems", s"${PyRepr.render(v)} " +
+              (if (n == 1) "should be non-empty" else "is too short"))
+        }
+        case _ => ()
+      }
+      case "maxItems" => v match {
+        case xs: JArray => s.maxItems.foreach { n =>
+          if (xs.arr.size > n)
+            out += err(s, v, rpath, "maxItems", s"${PyRepr.render(v)} " +
+              (if (n == 0) "is expected to be empty" else "is too long"))
+        }
+        case _ => ()
+      }
+      case "uniqueItems" => v match {
+        case xs: JArray if s.uniqueItems && xs.arr.distinct.size != xs.arr.size =>
+          out += err(s, v, rpath, "uniqueItems",
+            s"${PyRepr.render(v)} has non-unique elements")
+        case _ => ()
+      }
+      case "pattern" => v match {
+        case JString(str) => s.pattern.foreach { p =>
           if (!s.compiledPattern.get.matcher(str).find())
             out += err(s, v, rpath, "pattern",
               s"${PyRepr.render(v)} does not match ${PyRepr.str(p)}")
         }
-        s.maxLength.foreach { n =>
+        case _ => ()
+      }
+      case "maxLength" => v match {
+        case JString(str) => s.maxLength.foreach { n =>
           if (str.codePointCount(0, str.length) > n)
-            out += err(s, v, rpath, "maxLength", s"${PyRepr.render(v)} is too long")
+            out += err(s, v, rpath, "maxLength", s"${PyRepr.render(v)} " +
+              (if (n == 0) "is expected to be empty" else "is too long"))
         }
-        s.minLength.foreach { n =>
+        case _ => ()
+      }
+      case "minLength" => v match {
+        case JString(str) => s.minLength.foreach { n =>
           if (str.codePointCount(0, str.length) < n)
-            out += err(s, v, rpath, "minLength", s"${PyRepr.render(v)} is too short")
+            out += err(s, v, rpath, "minLength", s"${PyRepr.render(v)} " +
+              (if (n == 1) "should be non-empty" else "is too short"))
         }
-      case _ =>
-        numOf(v).foreach { n =>
-          s.minimum.foreach { m =>
-            if (n < m)
-              out += err(s, v, rpath, "minimum",
-                s"${PyRepr.render(v)} is less than the minimum of ${PyRepr.num(m)}")
-          }
-          s.maximum.foreach { m =>
-            if (n > m)
-              out += err(s, v, rpath, "maximum",
-                s"${PyRepr.render(v)} is greater than the maximum of ${PyRepr.num(m)}")
-          }
+        case _ => ()
+      }
+      case "minimum" => numOf(v).foreach { n =>
+        s.minimum.foreach { m =>
+          if (n < m)
+            out += err(s, v, rpath, "minimum",
+              s"${PyRepr.render(v)} is less than the minimum of ${PyRepr.num(m)}")
         }
-    }
-
-    if (s.anyOf.nonEmpty) {
-      val ctxs = s.anyOf.map(errors(_, v))
-      if (!ctxs.exists(_.isEmpty)) {
-        // context errors keep their path RELATIVE to this instance —
-        // jsonschema's ValidationError.path on context errors is the
-        // relative_path, and the reference formats whichever error
-        // by_relevance picks without re-anchoring it
-        val ctx = ctxs.flatten.toList
-        out += err(s, v, rpath, "anyOf",
-          s"${PyRepr.render(v)} is not valid under any of the given schemas", ctx)
       }
-    }
-    if (s.oneOf.nonEmpty) {
-      val ctxs = s.oneOf.map(errors(_, v))
-      val nValid = ctxs.count(_.isEmpty)
-      if (nValid == 0) {
-        val ctx = ctxs.flatten.toList
-        out += err(s, v, rpath, "oneOf",
-          s"${PyRepr.render(v)} is not valid under any of the given schemas", ctx)
-      } else if (nValid > 1) {
-        val which = ctxs.zipWithIndex.filter(_._1.isEmpty).map(_._2)
-        out += err(s, v, rpath, "oneOf",
-          s"${PyRepr.render(v)} is valid under each of ${which.mkString(", ")}")
+      case "maximum" => numOf(v).foreach { n =>
+        s.maximum.foreach { m =>
+          if (n > m)
+            out += err(s, v, rpath, "maximum",
+              s"${PyRepr.render(v)} is greater than the maximum of ${PyRepr.num(m)}")
+        }
       }
+      case "anyOf" if s.anyOf.nonEmpty =>
+        val ctxs = s.anyOf.map(errors(_, v))
+        if (!ctxs.exists(_.isEmpty)) {
+          // context errors keep their path RELATIVE to this instance —
+          // jsonschema's ValidationError.path on context errors is the
+          // relative_path, and the reference formats whichever error
+          // by_relevance picks without re-anchoring it
+          val ctx = ctxs.flatten.toList
+          out += err(s, v, rpath, "anyOf",
+            s"${PyRepr.render(v)} is not valid under any of the given schemas", ctx)
+        }
+      case "oneOf" if s.oneOf.nonEmpty =>
+        val ctxs = s.oneOf.map(errors(_, v))
+        val nValid = ctxs.count(_.isEmpty)
+        if (nValid == 0) {
+          val ctx = ctxs.flatten.toList
+          out += err(s, v, rpath, "oneOf",
+            s"${PyRepr.render(v)} is not valid under any of the given schemas", ctx)
+        } else if (nValid > 1) {
+          // jsonschema lists the later-valid subschema REPRS first, then the
+          // first-valid one (oneOf keyword impl: more_valid + [first_valid])
+          val validIdx = ctxs.zipWithIndex.filter(_._1.isEmpty).map(_._2)
+          val ordered = validIdx.tail :+ validIdx.head
+          val reprs = ordered.map(i => s.oneOf(i).repr).mkString(", ")
+          out += err(s, v, rpath, "oneOf",
+            s"${PyRepr.render(v)} is valid under each of $reprs")
+        }
+      case "allOf" => s.allOf.foreach(walk(_, v, rpath, out))
+      case _ => () // $schema, $id, id, title, description, ...
     }
-    s.allOf.foreach(walk(_, v, rpath, out))
   }
 
   // ------------------------------------------------------------- formatting
