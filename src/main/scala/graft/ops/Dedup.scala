@@ -63,25 +63,34 @@ object Dedup {
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
   }
 
-  /** Candidate pairs (idA < idB) from any (id, band, band_hash) table.
+  /** Candidate pairs (idA < idB) from any (id: long, band, band_hash) table.
     * Buckets larger than `maxBucket` are dropped (skew guard) and COUNTED:
     * the drop is reported via an `observe()` metric (n_buckets,
     * dropped_buckets, max_bucket_size) — attach `obs` to read it after the
-    * action; production listeners see the named metrics either way. */
+    * action; production listeners see the named metrics either way.
+    *
+    * Collection uses the BOUNDED aggregate (sketch.BoundedIdsAgg): the
+    * per-bucket buffer never holds more than maxBucket+1 ids even while a
+    * hot bucket's TRUE size keeps counting — a plain `collect_list` would
+    * materialize a 10^8-member skew bucket in one aggregation buffer before
+    * any size filter could run. Kept buckets (n ≤ maxBucket) emit their
+    * exact sorted id lists, so results are unchanged. */
   def bucketPairs(bands: DataFrame, maxBucket: Int = 1000,
       obs: Option[Observation] = None): DataFrame = {
+    graft.sketch.BoundedIdsAgg.register(bands.sparkSession)
     val grouped = bands.groupBy(col("band"), col("band_hash"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .agg(expr(s"bounded_ids(id, ${maxBucket + 1})").as("b"))
     val metrics = Seq(
       count(lit(1)).as("n_buckets"),
-      sum((size(col("ids")) > maxBucket).cast("long")).as("dropped_buckets"),
-      max(size(col("ids"))).as("max_bucket_size"))
+      sum((col("b.n") > maxBucket).cast("long")).as("dropped_buckets"),
+      max(col("b.n")).as("max_bucket_size"))
     val observed = obs match {
       case Some(o) => grouped.observe(o, metrics.head, metrics.tail: _*)
       case None => grouped.observe("graft.bucket_pairs", metrics.head, metrics.tail: _*)
     }
     observed
-      .where(size(col("ids")).between(2, maxBucket))
+      .where(col("b.n").between(2, maxBucket))
+      .select(col("b.ids").as("ids"))
       .select(explode(flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))

@@ -119,9 +119,24 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs === Set((100L, 101L))) // hot bucket dropped, small one kept
     assert(obs.get("dropped_buckets") === 1L)
     assert(obs.get("n_buckets") === 2L)
-    assert(obs.get("max_bucket_size") === 50)
+    assert(obs.get("max_bucket_size") === 50L)
     val dropped = graft.ops.Dedup.oversizedBuckets(bands, maxBucket = 10).collect()
     assert(dropped.length === 1 && dropped.head.getLong(2) === 50L)
+  }
+
+  test("bounded_ids: exact lists for small groups, capped buffer + true count for huge ones") {
+    graft.sketch.BoundedIdsAgg.register(spark)
+    val df = spark.range(100000).select(lit(7).as("g"), col("id"))
+      .unionByName(spark.range(3).select(lit(8).as("g"), (col("id") + 500).as("id")))
+    val rows = df.groupBy("g").agg(expr("bounded_ids(id, 11)").as("b"))
+      .select(col("g"), col("b.n"), size(col("b.ids"))).orderBy("g").collect()
+    assert(rows(0).getLong(1) === 100000L && rows(0).getInt(2) === 11)
+    assert(rows(1).getLong(1) === 3L && rows(1).getInt(2) === 3)
+    // buffer serialize round-trip preserves the true count past the cap
+    val buf = new graft.sketch.BoundedIdsAgg.Buffer(5)
+    (1L to 9L).foreach(buf.add)
+    val back = graft.sketch.BoundedIdsAgg.Buffer.fromBytes(5, buf.toBytes)
+    assert(back.count === 9L && back.idsSorted().toSeq === Seq(1L, 2L, 3L, 4L, 5L))
   }
 
   test("ngram dedup keeps recall when every doc shares its first token") {
