@@ -27,13 +27,23 @@ object Dedup {
     * projections collapse. */
   private[ops] def pin(c: Column): Column = slice(c, lit(1), size(c))
 
-  /** Exact duplicates by content hash: groups with >1 member, keeper = min id.
-    * Two-phase partial agg comes free from Spark's hash aggregate. */
-  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
-      .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keep_id"),
-        collect_list(col(idCol)).as("ids"))
+  /** Exact duplicates by content hash: groups with >1 member, keeper = min
+    * id. Two-phase partial agg comes free from Spark's hash aggregate; the
+    * member-id sample is BOUNDED (sketch.BoundedIdsAgg) because at web
+    * scale a single boilerplate text can have 10^8 copies — `cnt` stays
+    * exact, `ids` carries up to `maxIds` examples. */
+  def exact(df: DataFrame, idCol: String, textCol: String,
+      maxIds: Int = 1000): DataFrame = {
+    graft.sketch.BoundedIdsAgg.register(df.sparkSession)
+    df.select(md5(col(textCol).cast("binary")).as("content_hash"),
+        col(idCol).as("id"))
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("cnt"), min(col("id")).as("keep_id"),
+        expr(s"bounded_ids(id, $maxIds)").as("b"))
       .where(col("cnt") > 1)
+      .select(col("content_hash"), col("cnt"), col("keep_id"),
+        col("b.ids").as("ids"))
+  }
 
   /** k-word shingles of a token array (whole text if shorter than k). */
   def shingles(tokens: Column, k: Int): Column =

@@ -46,6 +46,27 @@ class HepFuzzSpec extends AnyFunSuite {
     assert(v.forall(_.getAs[String]("message") != null))
   }
 
+  test("version lattice holds on a 2000-doc generated corpus") {
+    // properties the published schemas imply, checked per generated doc:
+    //  - 1.1.0 and 1.1.1 are structurally identical
+    //  - v0 only ever emits structural (phase ≤ 0) messages
+    //  - 1.0.x emits no phase-3 (independent-variable) messages
+    //  - every version's messages are a deterministic function (re-run equal)
+    val corpus = graft.testdata.HepGen.rows(spark, 2000)
+    def byVersion(v: String) =
+      HepDataRules.violations(corpus, SchemaVersion.parse(v))
+        .select("file", "seq", "phase", "message").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .sortBy(t => (t._1, t._2))
+    val v111 = byVersion("1.1.1")
+    assert(byVersion("1.1.0") === v111)
+    val v0 = byVersion("0.1.0")
+    assert(v0.forall(_._3 <= 0), v0.filter(_._3 > 0).take(3).mkString("\n"))
+    val v100 = byVersion("1.0.0")
+    assert(v100.forall(_._3 <= 2), v100.filter(_._3 > 2).take(3).mkString("\n"))
+    assert(byVersion("1.1.1") === v111) // determinism
+  }
+
   test("SubmissionRules never throws on adversarial rows") {
     import spark.implicits._
     val weird = Seq(
