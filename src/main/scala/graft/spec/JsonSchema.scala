@@ -333,16 +333,23 @@ object JsonSchema {
 
   // ------------------------------------------------------------- formatting
 
-  /** jsonschema.exceptions.by_relevance key (weak = anyOf/oneOf, strong = ∅):
-    * prefer deeper paths, then earlier sibling paths, then non-weak
-    * keywords, then errors matching the instance's type. */
-  private def relevanceLess(a: Err, b: Err): Boolean = {
+  /** jsonschema.exceptions.by_relevance key (defaults: weak = anyOf/oneOf,
+    * strong = ∅; the reference's default-schema path uses
+    * by_relevance(strong='oneOf', weak=[]) — data_file_validator.py:132):
+    * prefer deeper paths, then earlier sibling paths, then weak keywords,
+    * then non-strong keywords, then errors matching the instance's type
+    * (min-sort semantics, exactly as `sorted(...)[0]` applies them). */
+  private def relevanceLess(weak: Set[String], strong: Set[String])(
+      a: Err, b: Err): Boolean = {
     if (a.path.size != b.path.size) return a.path.size > b.path.size
     val pc = comparePaths(a.path, b.path)
     if (pc != 0) return pc < 0
-    val aw = !Set("anyOf", "oneOf").contains(a.validator)
-    val bw = !Set("anyOf", "oneOf").contains(b.validator)
+    val aw = !weak.contains(a.validator)
+    val bw = !weak.contains(b.validator)
     if (aw != bw) return !aw // False sorts first
+    val as = strong.contains(a.validator)
+    val bs = strong.contains(b.validator)
+    if (as != bs) return !as
     val am = !a.matchesType
     val bm = !b.matchesType
     if (am != bm) return !am
@@ -368,9 +375,11 @@ object JsonSchema {
 
   /** "Best error in context" (ref __init__.py:120-122): for each top-level
     * error, pick the most relevant of [error] + context. */
-  def bestErrors(schema: Compiled, doc: JValue): List[Err] =
+  def bestErrors(schema: Compiled, doc: JValue,
+      weak: Set[String] = Set("anyOf", "oneOf"),
+      strong: Set[String] = Set.empty): List[Err] =
     errors(schema, doc).map { e =>
-      (e :: e.context).sortWith(relevanceLess).head
+      (e :: e.context).sortWith(relevanceLess(weak, strong)).head
     }
 
   /** Reference message formatting (__init__.py:159-182): location suffix
@@ -390,6 +399,12 @@ object JsonSchema {
     * DataFileValidator would add to `messages` for this doc. */
   def validate(schema: Compiled, doc: JValue): List[String] =
     bestErrors(schema, doc).map(format)
+
+  /** The reference's DEFAULT-schema selection (strong='oneOf', weak=[]) —
+    * used when validating against the published HEPData schemas
+    * (data_file_validator.py:127-132). */
+  def validateStrongOneOf(schema: Compiled, doc: JValue): List[String] =
+    bestErrors(schema, doc, weak = Set.empty, strong = Set("oneOf")).map(format)
 }
 
 /** Python `repr()` rendering of JSON values — needed because the reference
@@ -419,6 +434,9 @@ object PyRepr {
 
   /** Python float repr for the common range (no exotic exponents). */
   def double(d: Double): String = {
+    if (d.isNaN) return "nan"
+    if (d.isPosInfinity) return "inf"
+    if (d.isNegInfinity) return "-inf"
     if (d == d.floor && !d.isInfinite && math.abs(d) < 1e16)
       s"${d.toLong}.0"
     else {

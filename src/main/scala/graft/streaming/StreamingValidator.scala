@@ -68,6 +68,69 @@ object StreamingValidator {
       .agg(count(lit(1)).as("n_violations"))
   }
 
+  /** Watermarked per-window KLL sketches of a numeric column — the
+    * streaming face of [[graft.engine.DriftPass]]. Streaming state per open
+    * window is ONE mergeable sketch (few KB), never the raw values: the
+    * kll_sketch TypedImperativeAggregate's partial buffers live in the
+    * state store and merge across micro-batches. Output (append mode) emits
+    * a closed window's (window, sketch bytes, n) once its watermark
+    * passes. */
+  def windowedSketches(spark: SparkSession, stream: DataFrame,
+      valueExpr: String, tsCol: String,
+      windowLen: String = "10 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    graft.sketch.KllSketchAgg.register(spark)
+    stream.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(expr(s"kll_sketch(cast(($valueExpr) as double))").as("sketch"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Streaming drift monitor: each closed window's sketch is KS/χ²-tested
+    * against a FIXED baseline sketch (e.g. last snapshot's distribution,
+    * persisted in the manifest) inside foreachBatch, appending DriftReport
+    * rows to `outPath`. Checkpointed — a restarted monitor resumes without
+    * re-testing committed windows. */
+  def driftMonitor(
+      spark: SparkSession,
+      stream: DataFrame,
+      valueExpr: String,
+      tsCol: String,
+      baselineBytes: Array[Byte],
+      outPath: String,
+      checkpointDir: String,
+      windowLen: String = "10 minutes",
+      watermarkDelay: String = "30 minutes"): org.apache.spark.sql.streaming.StreamingQuery = {
+    windowedSketches(spark, stream, valueExpr, tsCol, windowLen, watermarkDelay)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.engine.DriftPass
+        val baseline = graft.sketch.KllSketchAgg.heapify(baselineBytes)
+        val rows = batch.select(col("window.start").cast("long").as("w"),
+            col("sketch"), col("n")).collect()
+        if (rows.nonEmpty) {
+          val reports = rows.toSeq.map { r =>
+            val sk = graft.sketch.KllSketchAgg.heapify(r.getAs[Array[Byte]]("sketch"))
+            val n = r.getAs[Long]("n")
+            val ks = DriftPass.ksStatistic(sk, baseline)
+            val ksThr = DriftPass.ksThreshold(n, baseline.getN, 1.628)
+            val (c2, dof) = DriftPass.chi2Statistic(sk, baseline)
+            DriftPass.DriftReport(r.getAs[Long]("w").toInt, n, ks, ksThr,
+              ks > ksThr, c2, DriftPass.chi2Threshold(dof),
+              c2 > DriftPass.chi2Threshold(dof))
+          }
+          val session = batch.sparkSession
+          import session.implicits._
+          reports.toDF().withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** foreachBatch bridge: every micro-batch runs the BATCH validator and
     * appends verdict rows to the manifest — checkpointed, so a restarted
     * stream resumes from the last committed batch (north-star resume). */

@@ -63,6 +63,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(hot(0).getAs[Boolean]("firstSeen")) // first batch containing it
   }
 
+  test("streaming drift monitor: windowed sketches vs baseline, per-window reports") {
+    import graft.engine.DriftPass
+    val batchDf = spark.read.parquet(stagingDir)
+    // shifted baseline -> every closed window must drift
+    val shifted = DriftPass.pooledBaseline(spark,
+      batchDf.withColumn("v", length(col("text")) + lit(10000)), "v", "part_id")
+    val out1 = tmp("drift_out1"); val ck1 = tmp("drift_ck1")
+    val s1 = spark.readStream.schema(pagesSchema).parquet(stagingDir)
+    val q1 = StreamingValidator.driftMonitor(spark, s1, "length(text)",
+      "warc_ts", shifted.toByteArray, out1, ck1,
+      windowLen = "30 days", watermarkDelay = "0 seconds")
+    q1.processAllAvailable(); q1.stop()
+    val r1 = spark.read.parquet(out1)
+    assert(r1.count() > 3, "expected several closed 30-day windows")
+    assert(r1.where(!col("ksDrifted")).count() === 0)
+    // matched baseline -> no KS drift anywhere
+    val matched = DriftPass.pooledBaseline(spark,
+      batchDf.withColumn("v", length(col("text"))), "v", "part_id")
+    val out2 = tmp("drift_out2"); val ck2 = tmp("drift_ck2")
+    val s2 = spark.readStream.schema(pagesSchema).parquet(stagingDir)
+    val q2 = StreamingValidator.driftMonitor(spark, s2, "length(text)",
+      "warc_ts", matched.toByteArray, out2, ck2,
+      windowLen = "30 days", watermarkDelay = "0 seconds")
+    q2.processAllAvailable(); q2.stop()
+    val r2 = spark.read.parquet(out2)
+    assert(r2.count() > 3)
+    assert(r2.where(col("ksDrifted")).count() === 0, r2.collect().mkString("\n"))
+  }
+
   test("foreachBatch incremental validation appends checkpointed manifest rows") {
     val manifest = tmp("stream_manifest") + "/m"
     val ckpt = tmp("stream_ckpt")
