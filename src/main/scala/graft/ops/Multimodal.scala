@@ -70,6 +70,40 @@ object Multimodal {
       }
   }
 
+  /** STUB resize — deterministic nearest-neighbour byte resample standing in
+    * for a real image resize (no codec libs in this container): maps the
+    * payload to `targetBytes` by sampling at fixed stride positions. The
+    * Spark shape (same mapPartitions batching as decode) is the production
+    * one. */
+  private def resizeStub(bytes: Array[Byte], targetBytes: Int): Array[Byte] = {
+    if (bytes == null || bytes.isEmpty) return Array.emptyByteArray
+    val out = new Array[Byte](targetBytes)
+    var i = 0
+    while (i < targetBytes) {
+      out(i) = bytes((i.toLong * bytes.length / targetBytes).toInt)
+      i += 1
+    }
+    out
+  }
+
+  final case class ResizedRow(id: Long, media: Array[Byte], nBytes: Long)
+
+  /** Batched resize of a (id: long, media: binary) DataFrame — partition
+    * preserved, per-partition batches, deterministic stub codec. */
+  def resize(df: DataFrame, idCol: String, mediaCol: String,
+      targetBytes: Int = 64): Dataset[ResizedRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(mediaCol).as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
+          val r = resizeStub(bytes, targetBytes)
+          ResizedRow(id, r, r.length.toLong)
+        })
+      }
+  }
+
   /** Frame-sampling plumbing for video-like payloads: split a binary blob
     * into fixed-size "frames", keep every `stride`-th. Pure expressions. */
   def sampleFrames(df: DataFrame, mediaCol: String, frameBytes: Int = 256,

@@ -281,5 +281,14 @@ class OpsSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(media, "media", frameBytes = 16, stride = 2)
       .select(size(col("frames"))).collect()
     assert(frames.forall(_.getInt(0) > 0))
+    // resize plumbing: fixed output size, deterministic, partition-local
+    val resized = Multimodal.resize(media, "id", "media", targetBytes = 16)
+    assert("Exchange".r.findAllIn(
+      resized.queryExecution.executedPlan.toString).size === 1)
+    val rs = resized.collect()
+    assert(rs.length === 200 && rs.forall(_.nBytes === 16L))
+    val rs2 = Multimodal.resize(media, "id", "media", targetBytes = 16).collect()
+    assert(rs.map(r => (r.id, r.media.toSeq)).toSet ===
+      rs2.map(r => (r.id, r.media.toSeq)).toSet)
   }
 }

@@ -63,6 +63,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(hot(0).getAs[Boolean]("firstSeen")) // first batch containing it
   }
 
+  test("custom JSON-Schema validation runs unchanged on a stream (stateless)") {
+    import spark.implicits._
+    val schema = graft.spec.JsonSchema.compile(
+      """{"type": "object", "properties": {"a": {"type": "integer"}},
+         |"required": ["a"], "additionalProperties": false}""".stripMargin)
+    val srcDir = tmp("schema_src")
+    Seq(
+      ("d1", """{"a": 1}""", "t"),
+      ("d2", """{"a": "x"}""", "t"),
+      ("d3", """{"b": 2}""", "t"))
+      .toDF("file", "json", "schemaType")
+      .write.mode("overwrite").parquet(srcDir)
+    val sch = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(sch).parquet(srcDir)
+    val q = graft.compile.CustomSchemas.violations(
+        stream, "file", "json", "schemaType", Seq("t" -> schema))
+      .writeStream.format("memory").queryName("stream_schema")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("select file, message from stream_schema")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val batch = graft.compile.CustomSchemas.violations(
+        spark.read.parquet(srcDir), "file", "json", "schemaType",
+        Seq("t" -> schema))
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(streamed === batch && batch.size === 3)
+  }
+
   test("streaming drift monitor: windowed sketches vs baseline, per-window reports") {
     import graft.engine.DriftPass
     val batchDf = spark.read.parquet(stagingDir)
