@@ -138,8 +138,10 @@ object JsonSchema {
   }
 
   private def jsonEq(a: JValue, b: JValue): Boolean = (a, b) match {
-    case (JInt(x), JDouble(y)) => BigDecimal(x) == BigDecimal(y)
-    case (JDouble(x), JInt(y)) => BigDecimal(x) == BigDecimal(y)
+    case (JInt(x), JDouble(y)) =>
+      java.lang.Double.isFinite(y) && BigDecimal(x) == BigDecimal(y)
+    case (JDouble(x), JInt(y)) =>
+      java.lang.Double.isFinite(x) && BigDecimal(x) == BigDecimal(y)
     case (JArray(xs), JArray(ys)) =>
       xs.size == ys.size && xs.zip(ys).forall { case (x, y) => jsonEq(x, y) }
     case (JObject(xs), JObject(ys)) =>
@@ -148,9 +150,14 @@ object JsonSchema {
     case _ => a == b
   }
 
+  /** Numeric value for range checks; non-finite doubles compare the way
+    * Python floats do (inf > any maximum, -inf < any minimum, NaN neither). */
   private def numOf(v: JValue): Option[BigDecimal] = v match {
     case JInt(n) => Some(BigDecimal(n))
-    case JDouble(n) => Some(BigDecimal(n))
+    case JDouble(n) if java.lang.Double.isFinite(n) => Some(BigDecimal(n))
+    case JDouble(n) if n.isPosInfinity => Some(BigDecimal("1e999999"))
+    case JDouble(n) if n.isNegInfinity => Some(BigDecimal("-1e999999"))
+    case JDouble(_) => None // NaN: no ordering, no range error (Python semantics)
     case JDecimal(n) => Some(n)
     case _ => None
   }
