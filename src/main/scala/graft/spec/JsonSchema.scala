@@ -65,7 +65,6 @@ object JsonSchema {
   def compile(j: JValue): Compiled = j match {
     case o: JObject =>
       val f = o.obj.toMap
-      def sub(k: String): Option[Compiled] = f.get(k).map(compile)
       def subs(k: String): Seq[Compiled] = f.get(k) match {
         case Some(JArray(xs)) => xs.map(compile)
         case _ => Nil
