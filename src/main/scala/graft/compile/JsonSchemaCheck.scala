@@ -78,6 +78,16 @@ object CustomSchemas {
     when(tpe.isNull, lit(null).cast("array<string>")).otherwise(dispatched)
   }
 
+  /** Dispatch on the document's OWN `type` key (data_file_validator.py:
+    * 123-125: `elif 'type' in data: data_schema = load_custom_schema(
+    * data['type'])`) — no explicit schemaType column needed; docs without a
+    * `type` key get null (the standard-schema path). */
+  def violationsByDocType(docs: DataFrame, fileCol: String, jsonCol: String,
+      schemas: Seq[(String, JsonSchema.Compiled)]): DataFrame =
+    violations(
+      docs.withColumn("_docType", get_json_object(col(jsonCol), "$.type")),
+      fileCol, jsonCol, "_docType", schemas)
+
   /** Violations of a (file, json, schemaType) documents table:
     * (file, seq, message) — one row per failed check, seq in jsonschema
     * iteration order. Docs with a null schemaType are passed through

@@ -190,4 +190,23 @@ class JsonSchemaSpec extends AnyFunSuite {
       "bad.yaml" -> "'some_variables' is a required property",
       "unknown.yaml" -> "There is no schema defined for the 'undefined' data type."))
   }
+
+  test("dispatch on the doc's own 'type' key (data_file_validator.py:123-125)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq(
+      // valid_file_custom.yaml carries type: "different" in the doc itself
+      ("ok.yaml", validCustomDoc.replaceAll("\\n", " ")),
+      ("bad.yaml", """{"type": "different", "name": "x"}"""),
+      ("unknown.yaml", """{"type": "histfactory", "a": 1}"""),
+      ("standard.yaml", """{"a": 1}""")) // no type key -> standard path
+      .toDF("file", "json")
+    val out = graft.compile.CustomSchemas.violationsByDocType(
+        docs, "file", "json", Seq("different" -> customSchema))
+      .orderBy("file", "seq").collect()
+      .map(r => (r.getString(0), r.getString(2)))
+    assert(out.toSeq === Seq(
+      "bad.yaml" -> "'some_variables' is a required property",
+      "unknown.yaml" -> "There is no schema defined for the 'histfactory' data type."))
+  }
 }
