@@ -94,6 +94,22 @@ object SubFixtures {
     tableDoc("Table 1", "data1.yaml",
       keywords = Seq(reactions, observables, cmeKw(kvn("7000"))))))
 
+  /** testsuite/test_data/valid_submission_v0.yaml — keywords use the v0-era
+    * name 'energies' (keywords[2]): VALID at 0.1.0 (no keyword-name enum in
+    * that schema), INVALID at ≥1.0.0 (test_submission_validator.py:34-47,
+    * 69-81). Not part of `all` (the default corpus is 1.1.x-shaped). */
+  val validSubmissionV0: SubFile = {
+    import SubModel._
+    def kws = Seq(
+      kw("reactions", Seq(kvs("P P --> Z0 Z0 X"))),
+      kw("observables", Seq(kvs("SIG"))),
+      kw("energies", Seq(KwVal("7000", isString = false))))
+    SubFile("valid_submission_v0.yaml", Seq(
+      addInfoDoc(),
+      tableDoc("Table 1", "data1.yaml", keywords = kws),
+      tableDoc("Table 2", "data2.yaml", keywords = kws)))
+  }
+
   val all: Seq[SubFile] = Seq(invalidSubmission, invalidLicense,
     invalidKeyword, invalidDuplicates, invalidCmenergies, noSubmissionDoc,
     invalidRecid, invalidDoi, validRelated, validWithEmpty)

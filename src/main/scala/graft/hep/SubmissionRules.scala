@@ -104,8 +104,12 @@ object SubmissionRules {
                 concat(lit("'"), v.getField("raw"),
                   lit("' is too long in 'keywords["), istr(i), lit("].values["),
                   istr(j), lit(s"]' (expected: $KwValRepr)"))))), nn(_))
+          // the keyword-name enum first appears in the 1.0.0 schema —
+          // 0.1.0 allows arbitrary names (e.g. the old 'energies'), which is
+          // what makes valid_submission_v0.yaml v0-valid but v1-invalid
           val nameEnum = filter(array(
-            optVio(k.getField("hasName") && !k.getField("name")
+            optVio(lit(version.major > 0) && k.getField("hasName") &&
+                !k.getField("name")
                 .isin("cmenergies", "observables", "reactions", "phrases"),
               vio(d, 0, 3, i, lit(0), lit(0),
                 concat(lit("'"), k.getField("name"),
