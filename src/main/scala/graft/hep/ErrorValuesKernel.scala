@@ -1,0 +1,224 @@
+package graft.hep
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Faithful one-pass replay of the reference's `check_error_values`
+  * (data_file_validator.py:224-284) over one document's `dep` array.
+  *
+  * This check is SEQUENTIAL by construction: the reference's `error_plus` /
+  * `error_minus` locals persist ACROSS loop iterations (across errors, values
+  * and even dependent variables), so an error mapping with neither `symerror`
+  * nor `asymerror` silently reuses the PREVIOUS error's values for the
+  * empty-string and all-zero checks — and raises NameError (aborting all
+  * remaining semantic checks) if no previous error ever bound them. Likewise
+  * an `asymerror` missing `plus`/`minus` raises KeyError mid-iteration.
+  * Verified against the live reference (see HepDataRulesSpec "stale" cases).
+  * A per-element Column formulation cannot express this carried state, so it
+  * runs as a native kernel: one imperative pass per row, embarrassingly
+  * parallel across rows, `doGenCode` via a reference object so the enclosing
+  * projection stays in whole-stage codegen.
+  *
+  * Output: struct(vios: array<struct(phase,k1..k5,message)>, aborted: bool).
+  * `vios` carries the same (phase=1, k,i,j,sub,sub2) sort keys the Column
+  * phase-1 formulation used; `aborted` mirrors "an exception escaped the
+  * semantic-check try block" (suppresses later checks + drives the
+  * unexpected-error apology).
+  */
+case class ErrorValuesKernel(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "check_error_values"
+
+  override def dataType: DataType = ErrorValuesKernel.outType
+
+  override def nullable: Boolean = false
+
+  // ordinal resolution against the HepDepVar/HepDepVal/HepErr struct schemas
+  @transient private lazy val depSt =
+    child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  @transient private lazy val valSt = depSt(depSt.fieldIndex("values"))
+    .dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  @transient private lazy val errSt = valSt(valSt.fieldIndex("errors"))
+    .dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  @transient private lazy val oHasValues = depSt.fieldIndex("hasValues")
+  @transient private lazy val oValues = depSt.fieldIndex("values")
+  @transient private lazy val oHasErrors = valSt.fieldIndex("hasErrors")
+  @transient private lazy val oErrors = valSt.fieldIndex("errors")
+  @transient private lazy val oHasSym = errSt.fieldIndex("hasSym")
+  @transient private lazy val oSymRaw = errSt.fieldIndex("symRaw")
+  @transient private lazy val oHasAsym = errSt.fieldIndex("hasAsym")
+  @transient private lazy val oPlusRaw = errSt.fieldIndex("plusRaw")
+  @transient private lazy val oMinusRaw = errSt.fieldIndex("minusRaw")
+  @transient private lazy val oHasPlus = errSt.fieldIndex("hasPlus")
+  @transient private lazy val oHasMinus = errSt.fieldIndex("hasMinus")
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  import ErrorValuesKernel._
+
+  /** Public so generated code can call it through the reference object. */
+  def compute(dep: ArrayData): InternalRow = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    // carried convert_to_float results; KIND_UNBOUND until first binding
+    var pKind = KindUnbound; var pNum = 0.0
+    var mKind = KindUnbound; var mNum = 0.0
+    var aborted = false
+
+    def parse(raw: UTF8String, k: Int, i: Int, j: Int, sub: String,
+        k4: Int, k5: Int): (Int, Double) = {
+      // convert_to_float: strip '%', float-parse; '' allowed silently;
+      // other unparseable strings emit the invalid message and stay strings.
+      // Gated by a Python-float-shaped regex because Java's parseDouble
+      // accepts trailing f/d suffixes Python rejects (the '2.300e-003f'
+      // golden case).
+      val stripped = raw.toString.replace("%", "")
+      val t = stripped.trim
+      if (t.nonEmpty && PyFloatPat.matcher(t).matches()) {
+        (KindNum, parsePyFloat(t))
+      } else if (stripped.isEmpty) {
+        (KindEmpty, 0.0)
+      } else {
+        out += vio(1, k, i, j, k4, k5,
+          s"Invalid error value $stripped: value must be a number (possibly ending in %) in 'dependent_variables.values[$i].errors[$j].$sub'")
+        (KindStr, 0.0)
+      }
+    }
+
+    val nVars = dep.numElements()
+    var k = 0
+    while (k < nVars && !aborted) {
+      val dv = dep.getStruct(k, depSt.size)
+      if (dv == null || !dv.getBoolean(oHasValues)) {
+        aborted = true // KeyError: dependent_variable['values']
+      } else {
+        val vals = dv.getArray(oValues)
+        if (vals == null) aborted = true // iterate None: TypeError
+        else {
+        val nVals = vals.numElements()
+        var i = 0
+        while (i < nVals && !aborted) {
+          val value = vals.getStruct(i, valSt.size)
+          if (value != null && value.getBoolean(oHasErrors)) {
+            val errs = value.getArray(oErrors)
+            val nErrs = if (errs == null) { aborted = true; 0 }
+              else errs.numElements()
+            var zeroAll = true
+            var zeroCount = 0
+            var j = 0
+            while (j < nErrs && !aborted) {
+              val e = errs.getStruct(j, errSt.size)
+              var hasAsymFlag = false
+              if (e == null) {
+                aborted = true // a non-mapping error entry: TypeError
+              } else if (e.getBoolean(oHasSym)) {
+                val raw = e.getUTF8String(oSymRaw)
+                if (raw == null) aborted = true // float(None): TypeError
+                else {
+                  val (kd, n) = parse(raw, k, i, j, "symerror", 0, 0)
+                  pKind = kd; pNum = n; mKind = kd; mNum = n
+                }
+              } else if (e.getBoolean(oHasAsym)) {
+                hasAsymFlag = true
+                if (!e.getBoolean(oHasPlus)) aborted = true // KeyError 'plus'
+                else {
+                  val praw = e.getUTF8String(oPlusRaw)
+                  if (praw == null) aborted = true
+                  else {
+                    val (kd, n) = parse(praw, k, i, j, "asymerror.plus", 0, 1)
+                    pKind = kd; pNum = n
+                    if (!e.getBoolean(oHasMinus)) aborted = true // KeyError
+                    else {
+                      val mraw = e.getUTF8String(oMinusRaw)
+                      if (mraw == null) aborted = true
+                      else {
+                        val (kd2, n2) = parse(mraw, k, i, j, "asymerror.minus", 1, 0)
+                        mKind = kd2; mNum = n2
+                      }
+                    }
+                  }
+                }
+              } else {
+                // neither key: the reference falls through to
+                // `if error_plus == ''` with whatever the previous error
+                // bound — NameError (abort) if nothing ever did.
+                if (pKind == KindUnbound) aborted = true
+              }
+              if (!aborted) {
+                if (pKind == KindEmpty && mKind == KindEmpty) {
+                  if (hasAsymFlag)
+                    out += vio(1, k, i, j, 5, 0,
+                      s"asymerror plus and minus cannot both be empty in 'dependent_variables.values[$i].errors[$j].asymerror'")
+                  else
+                    out += vio(1, k, i, j, 5, 0,
+                      s"symerror cannot be empty in 'dependent_variables.values[$i].errors[$j].symerror'")
+                }
+                zeroCount += 1
+                if (!(pKind == KindNum && pNum == 0.0 &&
+                      mKind == KindNum && mNum == 0.0)) zeroAll = false
+              }
+              j += 1
+            }
+            if (!aborted && zeroCount > 0 && zeroAll) {
+              out += vio(1, k, i, 9999, 0, 0,
+                s"Uncertainties should not all be zero in 'dependent_variables.values[$i].errors'")
+            }
+          }
+          i += 1
+        }
+        }
+      }
+      k += 1
+    }
+    InternalRow(new GenericArrayData(out.toArray[Any]), aborted)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("errorValuesKernel", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): ErrorValuesKernel =
+    copy(child = c)
+}
+
+object ErrorValuesKernel {
+  private final val KindUnbound = 0
+  private final val KindEmpty = 1
+  private final val KindStr = 2
+  private final val KindNum = 3
+
+  /** Python-float-shaped literals only (see HepDataRules gotcha). */
+  private[hep] val PyFloatPat = java.util.regex.Pattern.compile(
+    "^[+-]?((\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?|[iI][nN][fF]([iI][nN][iI][tT][yY])?|[nN][aA][nN])$")
+
+  private def parsePyFloat(t: String): Double = {
+    val l = t.toLowerCase
+    val (sign, body) =
+      if (l.startsWith("-")) (-1.0, l.substring(1))
+      else if (l.startsWith("+")) (1.0, l.substring(1)) else (1.0, l)
+    if (body == "inf" || body == "infinity") sign * Double.PositiveInfinity
+    else if (body == "nan") Double.NaN
+    else java.lang.Double.parseDouble(t)
+  }
+
+  private def vio(phase: Int, k1: Int, k2: Int, k3: Int, k4: Int, k5: Int,
+      message: String): InternalRow =
+    InternalRow(phase, k1, k2, k3, k4, k5, UTF8String.fromString(message))
+
+  val vioType: StructType = StructType(Seq(
+    StructField("phase", IntegerType, nullable = false),
+    StructField("k1", IntegerType, nullable = false),
+    StructField("k2", IntegerType, nullable = false),
+    StructField("k3", IntegerType, nullable = false),
+    StructField("k4", IntegerType, nullable = false),
+    StructField("k5", IntegerType, nullable = false),
+    StructField("message", StringType, nullable = true)))
+
+  val outType: StructType = StructType(Seq(
+    StructField("vios", ArrayType(vioType, containsNull = false), nullable = false),
+    StructField("aborted", BooleanType, nullable = false)))
+}

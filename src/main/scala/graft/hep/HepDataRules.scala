@@ -17,10 +17,15 @@ import org.apache.spark.sql.functions._
   *    data_file_validator.py:103-107)
   *  - phase 0: JSON-schema checks in instance order (jsonschema iter_errors;
   *    __init__.py:112-122): k1 = 0 indep / 1 dep, then var idx, value idx
-  *    (9000 = var-level required, 9001 = additionalProperties), error idx.
+  *    (9000 = var-level required, 9001 = additionalProperties), error idx;
+  *    per-error k5 encodes the error-item schema's keyword order (1/2 asym
+  *    required minus/plus, 3 asym addProps, 4 label type, 5 oneOf, 6 error
+  *    addProps).
   *  - phase 1: check_error_values (data_file_validator.py:224-284): dep var,
   *    value, error idx, sub (0 sym/plus invalid, 1 minus invalid, 5 empty);
-  *    the all-zero check emits after a value's errors (k3=9999).
+  *    the all-zero check emits after a value's errors (k3=9999). This phase
+  *    is SEQUENTIAL per document (stale error_plus/error_minus locals,
+  *    mid-iteration aborts) and runs as [[ErrorValuesKernel]].
   *  - phase 2: check_length_values (:286-309).
   *  - phase 3: check_independent_variable_values (:165-222); under/overflow
   *    emit after a variable's values loop (k2=len).
@@ -65,20 +70,9 @@ object HepDataRules {
   private def str(i: Column): Column = i.cast("string")
   private def nn(a: Column): Column = a.isNotNull
 
-  // convert_to_float semantics (data_file_validator.py:312-332):
-  // strip ALL '%', float-parse; '' allowed.
-  // NB: Java's parseDouble (behind Spark's cast) accepts a trailing f/d
-  // suffix and hex literals that Python's float() rejects (the golden
-  // '2.300e-003f' case), so gate the cast with a Python-float-shaped regex.
-  private val PyFloatRe =
-    "^[+-]?((\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?|[iI][nN][fF]([iI][nN][iI][tT][yY])?|[nN][aA][nN])$"
-  private def stripPct(c: Column): Column = regexp_replace(c, "%", "")
-  private def parsedF(c: Column): Column = {
-    val t = trim(stripPct(c))
-    when(t.rlike(PyFloatRe), t.try_cast("double"))
-  }
-  private def isZeroF(c: Column): Column = parsedF(c).isNotNull && parsedF(c) === 0.0
-  private def isInvalidF(c: Column): Column = stripPct(c) =!= "" && parsedF(c).isNull
+  // convert_to_float semantics (%-strip, Python-float-gated parse) now live
+  // in ErrorValuesKernel — check_error_values is sequential per document
+  // (stale error_plus/error_minus carry across iterations).
   private def isInf(c: Column): Column = abs(c) === lit(Double.PositiveInfinity)
 
   /** All violations for a Dataset[HepRow]-shaped DataFrame.
@@ -97,10 +91,13 @@ object HepDataRules {
     // 1.1.0. Semantic families are gated further below (ref:
     // data_file_validator.py:136-142).
     val pre110 = version < SchemaVersion.V110
+    val v1 = version.major > 0 // 1.0+ error items carry oneOf + asym required
     val reprs = SchemaReprs.forVersion(version)
     val indepItemRepr = if (pre110) reprs.indepItem else IndepItemRepr
     val depValueItemRepr = if (pre110) reprs.depValueItem else DepValueItemRepr
     val labelRepr = if (pre110) reprs.errorLabel else "{'type': 'string'}"
+    val errItemRepr = reprs.errorItem
+    val errAsymRepr = reprs.errorAsym
 
     val emptyArr = filter(
       array(vio(-1, lit(0), lit(0), lit(0), lit(0), lit(0),
@@ -173,13 +170,59 @@ object HepDataRules {
 
     val depSchemaArr = flatten(transform(col("dep"), (dv, k) => {
       val nested = flatten(transform(dv.getField("values"), (x, i) => {
-        val labelErrs = filter(transform(x.getField("errors"), (e, j) =>
-          optVio(e.getField("hasLabel") && !e.getField("labelIsString"),
-            vio(0, lit(1), k, i, j, lit(0),
-              concat(e.getField("labelRaw"),
-                lit(" is not of type 'string' in 'dependent_variables["), str(k),
-                lit("].values["), str(i), lit("].errors["), str(j),
-                lit(s"].label' (expected: $labelRepr)"))))), nn(_))
+        // per-error-mapping schema checks, in the error-item schema's own
+        // keyword order (type < properties < oneOf < additionalProperties;
+        // properties order symerror < asymerror < label) — k5 encodes it.
+        // The symerror/asymerror-member TYPE checks need a non-scalar raw
+        // (list/mapping) which the row model cannot carry; every other check
+        // of the published error-item schemas is emitted.
+        val errChecks = flatten(transform(x.getField("errors"), (e, j) => {
+          val errLoc = concat(
+            lit(" in 'dependent_variables["), str(k), lit("].values["),
+            str(i), lit("].errors["), str(j), lit("]"))
+          def addPropsMsg(extras: Column, tailAndRepr: Column): Column =
+            concat(lit("Additional properties are not allowed ("),
+              array_join(transform(array_sort(extras),
+                ek => concat(lit("'"), ek, lit("'"))), ", "),
+              when(size(extras) === 1, lit(" was unexpected)"))
+                .otherwise(lit(" were unexpected)")),
+              tailAndRepr)
+          val nOneOf = e.getField("hasSym").cast("int") +
+            e.getField("hasAsym").cast("int")
+          filter(array(
+            optVio(lit(v1) && e.getField("hasAsym") && !e.getField("hasMinus"),
+              vio(0, lit(1), k, i, j, lit(1),
+                concat(lit("'minus' is a required property"), errLoc,
+                  lit(s".asymerror' (expected: $errAsymRepr)")))),
+            optVio(lit(v1) && e.getField("hasAsym") && !e.getField("hasPlus"),
+              vio(0, lit(1), k, i, j, lit(2),
+                concat(lit("'plus' is a required property"), errLoc,
+                  lit(s".asymerror' (expected: $errAsymRepr)")))),
+            optVio(lit(v1) && e.getField("hasAsym") &&
+                size(e.getField("asymExtraKeys")) > 0,
+              vio(0, lit(1), k, i, j, lit(3),
+                addPropsMsg(e.getField("asymExtraKeys"),
+                  concat(errLoc, lit(s".asymerror' (expected: $errAsymRepr)"))))),
+            optVio(e.getField("hasLabel") && !e.getField("labelIsString"),
+              vio(0, lit(1), k, i, j, lit(4),
+                concat(e.getField("labelRaw"),
+                  lit(" is not of type 'string'"), errLoc,
+                  lit(s".label' (expected: $labelRepr)")))),
+            optVio(lit(v1) && nOneOf === 0,
+              vio(0, lit(1), k, i, j, lit(5),
+                concat(coalesce(e.getField("instanceRepr"), lit("{}")),
+                  lit(" is not valid under any of the given schemas"), errLoc,
+                  lit(s"' (expected: $errItemRepr)")))),
+            optVio(lit(v1) && nOneOf === 2,
+              vio(0, lit(1), k, i, j, lit(5),
+                concat(coalesce(e.getField("instanceRepr"), lit("{}")),
+                  lit(" is valid under each of {'required': ['asymerror']}, {'required': ['symerror']}"),
+                  errLoc, lit(s"' (expected: $errItemRepr)")))),
+            optVio(size(e.getField("extraKeys")) > 0,
+              vio(0, lit(1), k, i, j, lit(6),
+                addPropsMsg(e.getField("extraKeys"),
+                  concat(errLoc, lit(s"' (expected: $errItemRepr)")))))), nn(_))
+        }))
         val extras = x.getField("extraKeys")
         val valLevel = filter(array(
           optVio(!x.getField("hasValue"),
@@ -196,7 +239,7 @@ object HepDataRules {
                   .otherwise(lit(" were unexpected)")),
                 lit(" in 'dependent_variables["), str(k), lit("].values["),
                 str(i), lit(s"]' (expected: $depValueItemRepr)"))))), nn(_))
-        concat(labelErrs, valLevel)
+        concat(errChecks, valLevel)
       }))
       val varLevel = filter(array(
         optVio(lit(!pre110) && !dv.getField("hasHeader"),
@@ -210,59 +253,20 @@ object HepDataRules {
       concat(nested, varLevel)
     }))
 
-    // ---- semantic-check gating (exception-abort mirror) --------------
-    val firstBadDep = array_position(
-      transform(col("dep"), v => v.getField("hasValues")), false)
-    val effDep = when(firstBadDep === 0, col("dep"))
-      .otherwise(slice(col("dep"), lit(1), (firstBadDep - 1).cast("int")))
-    val lengthRan = col("hasDep") && firstBadDep === 0
+    // ---- phase 1 + semantic-check gating (exception-abort mirror) ----
+    // check_error_values carries mutable state ACROSS errors/values/vars
+    // (stale error_plus/error_minus locals) and can raise mid-iteration
+    // (KeyError/NameError/TypeError) — sequential per document, so it runs
+    // as a native one-pass kernel over the `dep` array (see
+    // [[ErrorValuesKernel]]); `_ev.aborted` mirrors "an exception escaped
+    // the semantic try block", which also suppresses phases 2-3. It is
+    // referenced twice below (vios + aborted), the CollapseProject barrier
+    // that keeps the kernel single-evaluated.
+    val errValArr = col("_ev").getField("vios")
+    val semAborted = !col("emptyDoc") &&
+      (!col("hasDep") || col("_ev").getField("aborted"))
+    val lengthRan = col("hasDep") && !semAborted
     val phase23Gate = lengthRan && col("hasIndep")
-
-    // ---- phase 1: check_error_values ---------------------------------
-    val errValArr = flatten(transform(effDep, (dv, k) =>
-      flatten(transform(dv.getField("values"), (x, i) => {
-        val perErr = flatten(transform(x.getField("errors"), (e, j) => {
-          def invalidMsg(raw: Column, sub: String) =
-            concat(lit("Invalid error value "), stripPct(raw),
-              lit(": value must be a number (possibly ending in %) in 'dependent_variables.values["),
-              str(i), lit("].errors["), str(j), lit(s"].$sub'"))
-          val emptySym = e.getField("hasSym") && stripPct(e.getField("symRaw")) === ""
-          val emptyAsym = e.getField("hasAsym") &&
-            stripPct(e.getField("plusRaw")) === "" &&
-            stripPct(e.getField("minusRaw")) === ""
-          filter(array(
-            optVio(e.getField("hasSym") && isInvalidF(e.getField("symRaw")),
-              vio(1, k, i, j, lit(0), lit(0),
-                invalidMsg(e.getField("symRaw"), "symerror"))),
-            optVio(!e.getField("hasSym") && e.getField("hasAsym") &&
-                isInvalidF(e.getField("plusRaw")),
-              vio(1, k, i, j, lit(0), lit(1),
-                invalidMsg(e.getField("plusRaw"), "asymerror.plus"))),
-            optVio(!e.getField("hasSym") && e.getField("hasAsym") &&
-                isInvalidF(e.getField("minusRaw")),
-              vio(1, k, i, j, lit(1), lit(0),
-                invalidMsg(e.getField("minusRaw"), "asymerror.minus"))),
-            optVio(emptySym,
-              vio(1, k, i, j, lit(5), lit(0),
-                concat(lit("symerror cannot be empty in 'dependent_variables.values["),
-                  str(i), lit("].errors["), str(j), lit("].symerror'")))),
-            optVio(!e.getField("hasSym") && emptyAsym,
-              vio(1, k, i, j, lit(5), lit(0),
-                concat(lit("asymerror plus and minus cannot both be empty in 'dependent_variables.values["),
-                  str(i), lit("].errors["), str(j), lit("].asymerror'"))))), nn(_))
-        }))
-        val isZeroErr = (e: Column) =>
-          when(e.getField("hasSym"), isZeroF(e.getField("symRaw")))
-            .otherwise(e.getField("hasAsym") &&
-              isZeroF(e.getField("plusRaw")) && isZeroF(e.getField("minusRaw")))
-        val zeroV = filter(array(
-          optVio(x.getField("hasErrors") && size(x.getField("errors")) > 0 &&
-              forall(x.getField("errors"), isZeroErr),
-            vio(1, k, i, lit(9999), lit(0), lit(0),
-              concat(lit("Uncertainties should not all be zero in 'dependent_variables.values["),
-                str(i), lit("].errors'"))))), nn(_))
-        concat(perErr, zeroV)
-      }))))
 
     // ---- phase 2: check_length_values --------------------------------
     val indepCounts = transform(
@@ -347,12 +351,14 @@ object HepDataRules {
     // the reference wraps the semantic checks in one `try` and, when they
     // raise with NO other message recorded for the file, emits the
     // unexpected-error apology (data_file_validator.py:143-152). Raises in
-    // our model: a dep var without 'values' (check_error_values KeyError),
-    // 'independent_variables' missing when the length check runs, or (≥1.1.0)
-    // an indep var without 'values' in phase 3.
+    // our model: any check_error_values abort (KeyError on a dep var without
+    // 'values' or an asymerror member, NameError on an unbound stale value —
+    // see ErrorValuesKernel), 'independent_variables' missing when the
+    // length check runs, or (≥1.1.0) an indep var without 'values' in
+    // phase 3.
     val exceptionOccurred: Column =
       if (version.major == 0) lit(false)
-      else (col("hasDep") && firstBadDep =!= 0) ||
+      else semAborted ||
         (lengthRan && !col("hasIndep")) ||
         (if (version >= SchemaVersion.V110)
           phase23Gate && firstBadIndep =!= 0 else lit(false))
@@ -362,8 +368,13 @@ object HepDataRules {
         lit(". Please contact info@hepdata.net if this issue recurs.")))
 
     // two-step select: `_v0` is referenced three times below, which is the
-    // CollapseProject barrier keeping the big rule array single-evaluated
-    df.select(col("file"), array_sort(all).as("_v0"),
+    // CollapseProject barrier keeping the big rule array single-evaluated;
+    // `_ev` (the sequential check_error_values kernel) is likewise
+    // referenced twice (vios + aborted) in this projection.
+    df.withColumn("_ev", org.apache.spark.sql.graft.ColumnBridge.column(
+        ErrorValuesKernel(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("dep")))))
+      .select(col("file"), array_sort(all).as("_v0"),
         exceptionOccurred.as("_exc"))
       .select(col("file"),
         when(col("_exc") && size(col("_v0")) === 0,

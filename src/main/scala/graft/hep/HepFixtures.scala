@@ -135,7 +135,54 @@ object HepFixtures {
       dep = Seq(depVar("SIG(total)", depVals)))
   }
 
+  private def numPoints(n: Int): Seq[HepIndepVal] =
+    (0 until n).map(i => point(i.toString, isString = false))
+
+  /** Synthetic P10 corpus (no reference fixture exercises the error-mapping
+    * structural `oneOf`); goldens pinned by running the live reference —
+    * HepDataRulesSpec "error-mapping structural oneOf" tests. */
+
+  /** oneOf both directions + additionalProperties + label-type ordering */
+  val errorOneOf: HepRow = row("invalid_error_oneof.yaml",
+    indep = Seq(indepVar("X", numPoints(5))),
+    dep = Seq(depVar("Y", Seq(
+      dval("6.1", Seq(sym("0.1"), noneErr("{'label': 'sys'}", "sys"))),
+      dval("6.2", Seq(bothErr("0.1", "0.1", "-0.1",
+        "{'symerror': 0.1, 'asymerror': {'plus': 0.1, 'minus': -0.1}}"))),
+      dval("6.3", Seq(sym("0.3", extraKeys = Seq("foo")))),
+      dval("6.4", Seq(noneErr("{'label': 123}", "123", labelIsString = false))),
+      dval("6.5", Seq(asym("1", "1", asymExtraKeys = Seq("zzz"))))))))
+
+  /** check_error_values' stale error_plus/error_minus locals: a neither-key
+    * error reuses the PREVIOUS error's values for the empty and all-zero
+    * checks (reference data_file_validator.py:236-283 loop state) */
+  val errorStale: HepRow = row("invalid_error_stale.yaml",
+    indep = Seq(indepVar("X", numPoints(2))),
+    dep = Seq(depVar("Y", Seq(
+      dval("7.1", Seq(sym(""), noneErr("{'label': 'sys'}", "sys"))),
+      dval("7.2", Seq(sym("0.0"), noneErr("{'label': 'x'}", "x")))))))
+
+  /** a neither-key FIRST error → NameError → all semantic checks abort
+    * (the later bad symerror AND the length mismatch are suppressed) */
+  val errorAbort: HepRow = row("invalid_error_abort.yaml",
+    indep = Seq(indepVar("X", numPoints(1))),
+    dep = Seq(depVar("Y", Seq(
+      dval("8.1", Seq(noneErr("{'label': 'sys'}", "sys"))),
+      dval("8.2", Seq(sym("bad")))))))
+
+  /** asymerror missing 'minus' → plus converts (invalid message emitted)
+    * then KeyError → abort; the later bad symerror is suppressed */
+  val errorAsymMissing: HepRow = row("invalid_error_asym_missing.yaml",
+    indep = Seq(indepVar("X", numPoints(2))),
+    dep = Seq(depVar("Y", Seq(
+      dval("9.1", Seq(HepErr(hasSym = false, symRaw = null, hasAsym = true,
+        plusRaw = "2.x", minusRaw = null, hasLabel = false, labelRaw = null,
+        labelIsString = true, extraKeys = Nil, hasPlus = true,
+        hasMinus = false))),
+      dval("9.2", Seq(sym("bad2")))))))
+
   val all: Seq[HepRow] = Seq(validFile, invalidFile, emptyFile,
     zeroUncertainty, percent, zeroPercent, inconsistent, binningAverage,
-    missingValues, invalidIndepVars)
+    missingValues, invalidIndepVars,
+    errorOneOf, errorStale, errorAbort, errorAsymMissing)
 }

@@ -23,11 +23,19 @@ final case class HepIndepVal(
 final case class HepIndepVar(
     headerName: String, hasValues: Boolean, values: Seq[HepIndepVal])
 
+/** One error mapping. `hasPlus`/`hasMinus` model the asymerror sub-keys
+  * (required by the 1.0+ schemas); `asymExtraKeys` unknown keys inside the
+  * asymerror mapping; `instanceRepr` the Python dict-repr of the WHOLE error
+  * mapping, embedded verbatim in `oneOf` failure messages — only error
+  * mappings that can fail the oneOf (neither or both of symerror/asymerror
+  * present) need it (ref: schemas/1.1.1/data_schema.json error items). */
 final case class HepErr(
     hasSym: Boolean, symRaw: String,
     hasAsym: Boolean, plusRaw: String, minusRaw: String,
     hasLabel: Boolean, labelRaw: String, labelIsString: Boolean,
-    extraKeys: Seq[String])
+    extraKeys: Seq[String],
+    hasPlus: Boolean = true, hasMinus: Boolean = true,
+    asymExtraKeys: Seq[String] = Nil, instanceRepr: String = null)
 
 final case class HepDepVal(
     hasValue: Boolean, valueRaw: String,
@@ -47,16 +55,35 @@ final case class HepRow(
 
 object HepModel {
   // convenience constructors for fixtures/tests
-  def sym(v: String, label: String = null, labelIsString: Boolean = true): HepErr =
+  def sym(v: String, label: String = null, labelIsString: Boolean = true,
+      extraKeys: Seq[String] = Nil): HepErr =
     HepErr(hasSym = true, symRaw = v, hasAsym = false, plusRaw = null,
       minusRaw = null, hasLabel = label != null, labelRaw = label,
-      labelIsString = labelIsString, extraKeys = Nil)
+      labelIsString = labelIsString, extraKeys = extraKeys)
 
   def asym(plus: String, minus: String, label: String = null,
-      labelIsString: Boolean = true): HepErr =
+      labelIsString: Boolean = true, asymExtraKeys: Seq[String] = Nil): HepErr =
     HepErr(hasSym = false, symRaw = null, hasAsym = true, plusRaw = plus,
       minusRaw = minus, hasLabel = label != null, labelRaw = label,
-      labelIsString = labelIsString, extraKeys = Nil)
+      labelIsString = labelIsString, extraKeys = Nil,
+      asymExtraKeys = asymExtraKeys)
+
+  /** An error mapping with NEITHER symerror nor asymerror (fails the 1.0+
+    * oneOf). `instanceRepr` = Python repr of the original mapping. */
+  def noneErr(instanceRepr: String, label: String = null,
+      labelIsString: Boolean = true, extraKeys: Seq[String] = Nil): HepErr =
+    HepErr(hasSym = false, symRaw = null, hasAsym = false, plusRaw = null,
+      minusRaw = null, hasLabel = label != null, labelRaw = label,
+      labelIsString = labelIsString, extraKeys = extraKeys,
+      instanceRepr = instanceRepr)
+
+  /** An error mapping with BOTH symerror and asymerror (fails the 1.0+
+    * oneOf the other way: valid under each required-subschema). */
+  def bothErr(symV: String, plus: String, minus: String,
+      instanceRepr: String): HepErr =
+    HepErr(hasSym = true, symRaw = symV, hasAsym = true, plusRaw = plus,
+      minusRaw = minus, hasLabel = false, labelRaw = null,
+      labelIsString = true, extraKeys = Nil, instanceRepr = instanceRepr)
 
   def dval(v: String, errs: Seq[HepErr] = null, extraKeys: Seq[String] = Nil): HepDepVal =
     HepDepVal(hasValue = v != null, valueRaw = v,

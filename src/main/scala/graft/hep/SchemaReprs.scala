@@ -19,7 +19,7 @@ final case class SchemaReprs(
     indepLow: String, indepHigh: String,
     indepValueItem: String, indepItem: String,
     depValueItem: String, depItem: String,
-    errorLabel: String)
+    errorLabel: String, errorItem: String, errorAsym: String)
 
 object SchemaReprs {
 
@@ -42,8 +42,8 @@ object SchemaReprs {
       val valueItem = indepItem \ "properties" \ "values" \ "items"
       val depItem = s \ "properties" \ "dependent_variables" \ "items"
       val depValueItem = depItem \ "properties" \ "values" \ "items"
-      val label = depValueItem \ "properties" \ "errors" \ "items" \
-        "properties" \ "label"
+      val errItem = depValueItem \ "properties" \ "errors" \ "items"
+      val label = errItem \ "properties" \ "label"
       def flatProp(k: String): String =
         PyRepr.render(valueItem \ "properties" \ k)
       SchemaReprs(
@@ -53,6 +53,8 @@ object SchemaReprs {
         indepItem = PyRepr.render(indepItem),
         depValueItem = PyRepr.render(depValueItem),
         depItem = PyRepr.render(depItem),
-        errorLabel = PyRepr.render(label))
+        errorLabel = PyRepr.render(label),
+        errorItem = PyRepr.render(errItem),
+        errorAsym = PyRepr.render(errItem \ "properties" \ "asymerror"))
     })
 }

@@ -18,10 +18,21 @@ import org.json4s._
   * context" selection per `jsonschema.exceptions.by_relevance` (weak =
   * anyOf/oneOf).
   *
-  * Supported keywords (everything the reference's fixtures exercise):
-  * type (incl. unions), properties, required, additionalProperties (bool),
-  * items (single-schema form), anyOf, oneOf, allOf, const, enum, pattern,
-  * maxLength, minLength, minimum, maximum, minItems, maxItems, uniqueItems.
+  * Supported keywords: type (incl. unions), properties, required,
+  * additionalProperties (bool), items (single-schema form), anyOf, oneOf,
+  * allOf, not, const, enum, pattern, maxLength, minLength, minimum, maximum
+  * (incl. the draft-04 boolean exclusiveMinimum/Maximum modifiers),
+  * exclusiveMinimum/Maximum (numeric form), multipleOf,
+  * minProperties/maxProperties, minItems, maxItems, uniqueItems.
+  *
+  * Anything else that VALIDATES (patternProperties, dependencies, contains,
+  * if/then/else, tuple-form items, $ref, ...) is rejected LOUDLY at compile
+  * — silently ignoring a validation keyword would under-validate, the worst
+  * failure mode for a validator. Annotation-only keywords (title,
+  * description, default, definitions, ...) are accepted and ignored, as is
+  * `format`: the reference never passes a format_checker, so jsonschema
+  * treats format as an annotation there too (__init__.py:97-122 creates the
+  * validator with no FormatChecker).
   */
 object JsonSchema {
 
@@ -34,11 +45,18 @@ object JsonSchema {
       anyOf: Seq[Compiled],
       oneOf: Seq[Compiled],
       allOf: Seq[Compiled],
+      notSchema: Option[Compiled],
       constVal: Option[JValue],
       enumVals: Option[Seq[JValue]],
       pattern: Option[String],
       maxLength: Option[Long], minLength: Option[Long],
-      minimum: Option[BigDecimal], maximum: Option[BigDecimal],
+      // bounds keep the RAW JValue: Python reprs 3 and 3.0 differently and
+      // the bound is embedded verbatim in the message
+      minimum: Option[JValue], maximum: Option[JValue],
+      minExclusive: Boolean, maxExclusive: Boolean, // draft-04 boolean form
+      exclusiveMinimum: Option[JValue], exclusiveMaximum: Option[JValue],
+      multipleOf: Option[JValue], // raw: int vs float divisor semantics differ
+      minProperties: Option[Long], maxProperties: Option[Long],
       minItems: Option[Long], maxItems: Option[Long],
       uniqueItems: Boolean,
       repr: String,          // python repr of the original schema dict
@@ -62,9 +80,33 @@ object JsonSchema {
 
   // ---------------------------------------------------------------- compile
 
+  /** Spec-defined validation keywords the evaluator does NOT implement.
+    * These are rejected LOUDLY at compile: silently ignoring a keyword the
+    * reference's jsonschema WOULD enforce is under-validation, the worst
+    * failure mode for a validator. Keywords outside this set that we don't
+    * handle are genuinely unknown to jsonschema too (it ignores them as
+    * annotations — e.g. the reference's own custom_data_schema carries a
+    * non-spec 'name' key), so ignoring them is faithful. `format` is
+    * likewise annotation-only in the reference (no FormatChecker is ever
+    * passed, __init__.py:97-122); $ref is inlined by SchemaResolver BEFORE
+    * compile, so one surviving here is a resolution bug. */
+  private val UnsupportedValidation = Set(
+    "$ref", "$dynamicRef", "$recursiveRef", "patternProperties",
+    "dependencies", "dependentRequired", "dependentSchemas", "propertyNames",
+    "contains", "minContains", "maxContains", "if", "then", "else",
+    "unevaluatedProperties", "unevaluatedItems", "prefixItems",
+    "additionalItems")
+
   def compile(j: JValue): Compiled = j match {
     case o: JObject =>
       val f = o.obj.toMap
+      val unsupported = f.keySet.intersect(UnsupportedValidation)
+      if (unsupported.nonEmpty)
+        throw new IllegalArgumentException(
+          "unsupported JSON-Schema validation keyword(s): " +
+            unsupported.toSeq.sorted.mkString(", ") +
+            " — refusing to compile (silently ignoring a validation keyword" +
+            " would under-validate)")
       def subs(k: String): Seq[Compiled] = f.get(k) match {
         case Some(JArray(xs)) => xs.map(compile)
         case _ => Nil
@@ -88,22 +130,42 @@ object JsonSchema {
         },
         required = strs("required"),
         additionalAllowed = f.get("additionalProperties") match {
-          case Some(JBool(false)) => false
+          case Some(JBool(b)) => b
+          case Some(_: JObject) => throw new IllegalArgumentException(
+            "schema-form 'additionalProperties' unsupported — refusing to compile")
           case _ => true
         },
         items = f.get("items") match {
           case Some(o2: JObject) => Some(compile(o2))
           case Some(JArray(_)) =>
             throw new IllegalArgumentException("tuple-form 'items' unsupported")
+          case Some(JBool(_)) => throw new IllegalArgumentException(
+            "boolean-form 'items' unsupported — refusing to compile")
           case _ => None
         },
         anyOf = subs("anyOf"), oneOf = subs("oneOf"), allOf = subs("allOf"),
+        notSchema = f.get("not").map(compile),
         constVal = f.get("const"),
         enumVals = f.get("enum").collect { case JArray(xs) => xs },
         pattern = f.get("pattern").collect { case JString(s) => s },
         maxLength = num("maxLength").map(_.toLong),
         minLength = num("minLength").map(_.toLong),
-        minimum = num("minimum"), maximum = num("maximum"),
+        minimum = f.get("minimum"), maximum = f.get("maximum"),
+        // draft-04 spells exclusivity as booleans modifying minimum/maximum;
+        // draft-06+ as standalone numeric keywords
+        minExclusive = f.get("exclusiveMinimum").contains(JBool(true)),
+        maxExclusive = f.get("exclusiveMaximum").contains(JBool(true)),
+        exclusiveMinimum = f.get("exclusiveMinimum") match {
+          case Some(_: JBool) | None => None
+          case other => other
+        },
+        exclusiveMaximum = f.get("exclusiveMaximum") match {
+          case Some(_: JBool) | None => None
+          case other => other
+        },
+        multipleOf = f.get("multipleOf"),
+        minProperties = num("minProperties").map(_.toLong),
+        maxProperties = num("maxProperties").map(_.toLong),
         minItems = num("minItems").map(_.toLong),
         maxItems = num("maxItems").map(_.toLong),
         uniqueItems = f.get("uniqueItems").contains(JBool(true)),
@@ -292,18 +354,88 @@ object JsonSchema {
         case _ => ()
       }
       case "minimum" => numOf(v).foreach { n =>
-        s.minimum.foreach { m =>
-          if (n < m)
+        s.minimum.flatMap(m => numOf(m).map((m, _))).foreach { case (mj, m) =>
+          // draft-04 boolean exclusiveMinimum modifies this keyword (the
+          // error's validator is still 'minimum')
+          if (if (s.minExclusive) n <= m else n < m)
             out += err(s, v, rpath, "minimum",
-              s"${PyRepr.render(v)} is less than the minimum of ${PyRepr.num(m)}")
+              s"${PyRepr.render(v)} is less than " +
+                (if (s.minExclusive) "or equal to " else "") +
+                s"the minimum of ${PyRepr.render(mj)}")
         }
       }
       case "maximum" => numOf(v).foreach { n =>
-        s.maximum.foreach { m =>
-          if (n > m)
+        s.maximum.flatMap(m => numOf(m).map((m, _))).foreach { case (mj, m) =>
+          if (if (s.maxExclusive) n >= m else n > m)
             out += err(s, v, rpath, "maximum",
-              s"${PyRepr.render(v)} is greater than the maximum of ${PyRepr.num(m)}")
+              s"${PyRepr.render(v)} is greater than " +
+                (if (s.maxExclusive) "or equal to " else "") +
+                s"the maximum of ${PyRepr.render(mj)}")
         }
+      }
+      case "exclusiveMinimum" => numOf(v).foreach { n =>
+        s.exclusiveMinimum.flatMap(m => numOf(m).map((m, _))).foreach {
+          case (mj, m) =>
+            if (n <= m)
+              out += err(s, v, rpath, "exclusiveMinimum",
+                s"${PyRepr.render(v)} is less than or equal to the minimum of ${PyRepr.render(mj)}")
+        }
+      }
+      case "exclusiveMaximum" => numOf(v).foreach { n =>
+        s.exclusiveMaximum.flatMap(m => numOf(m).map((m, _))).foreach {
+          case (mj, m) =>
+            if (n >= m)
+              out += err(s, v, rpath, "exclusiveMaximum",
+                s"${PyRepr.render(v)} is greater than or equal to the maximum of ${PyRepr.render(mj)}")
+        }
+      }
+      case "multipleOf" => s.multipleOf.foreach { m =>
+        // jsonschema: float divisor -> integral-quotient test (with
+        // OverflowError -> failed); int divisor -> Python `%`. Mirrored on
+        // doubles; truthiness of a nonzero remainder matches Python's even
+        // where the remainder's sign differs.
+        val vd: Option[Double] = v match {
+          case JInt(n) => Some(n.toDouble)
+          case JDouble(d) => Some(d)
+          case JDecimal(d) => Some(d.toDouble)
+          case _ => None
+        }
+        vd.foreach { dv =>
+          val failed = m match {
+            case JDouble(md) =>
+              val q = dv / md
+              q.isInfinite || q.isNaN || q != math.floor(q)
+            case JDecimal(md) =>
+              val q = dv / md.toDouble
+              q.isInfinite || q.isNaN || q != math.floor(q)
+            case JInt(mi) => dv % mi.toDouble != 0.0
+            case _ => false
+          }
+          if (failed)
+            out += err(s, v, rpath, "multipleOf",
+              s"${PyRepr.render(v)} is not a multiple of ${PyRepr.render(m)}")
+        }
+      }
+      case "minProperties" => v match {
+        case JObject(fields) => s.minProperties.foreach { n =>
+          if (fields.size < n)
+            out += err(s, v, rpath, "minProperties", s"${PyRepr.render(v)} " +
+              (if (n == 1) "should be non-empty" else "does not have enough properties"))
+        }
+        case _ => ()
+      }
+      case "maxProperties" => v match {
+        case JObject(fields) => s.maxProperties.foreach { n =>
+          if (fields.size > n)
+            out += err(s, v, rpath, "maxProperties", s"${PyRepr.render(v)} " +
+              (if (n == 0) "is expected to be empty" else "has too many properties"))
+        }
+        case _ => ()
+      }
+      case "not" => s.notSchema.foreach { sub =>
+        if (errors(sub, v).isEmpty)
+          out += err(s, v, rpath, "not",
+            s"${PyRepr.render(v)} should not be valid under ${sub.repr}")
       }
       case "anyOf" if s.anyOf.nonEmpty =>
         val ctxs = s.anyOf.map(errors(_, v))

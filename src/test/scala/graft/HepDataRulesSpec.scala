@@ -86,6 +86,43 @@ class HepDataRulesSpec extends AnyFunSuite {
       "error - independent_variable must not have more than one overflow bin: (0.0000e+00, inf), (1.0000e+00, inf) in 'independent_variables[0].values[13]'"))
   }
 
+  // ---- error-mapping structural oneOf (P10) — goldens pinned by running
+  // the live reference on the same docs (see HepFixtures Scaladoc) --------
+  private val errItem = "{'type': 'object', 'properties': {'symerror': {'type': ['number', 'string']}, 'asymerror': {'type': 'object', 'properties': {'minus': {'type': ['number', 'string']}, 'plus': {'type': ['number', 'string']}}, 'required': ['minus', 'plus'], 'additionalProperties': False}, 'label': {'type': 'string'}}, 'oneOf': [{'required': ['symerror']}, {'required': ['asymerror']}], 'additionalProperties': False}"
+  private val errAsym = "{'type': 'object', 'properties': {'minus': {'type': ['number', 'string']}, 'plus': {'type': ['number', 'string']}}, 'required': ['minus', 'plus'], 'additionalProperties': False}"
+
+  test("invalid_error_oneof.yaml: oneOf both ways + addProps + label ordering") {
+    assert(messagesFor(HepFixtures.errorOneOf) === Seq(
+      s"error - {'label': 'sys'} is not valid under any of the given schemas in 'dependent_variables[0].values[0].errors[1]' (expected: $errItem)",
+      s"error - {'symerror': 0.1, 'asymerror': {'plus': 0.1, 'minus': -0.1}} is valid under each of {'required': ['asymerror']}, {'required': ['symerror']} in 'dependent_variables[0].values[1].errors[0]' (expected: $errItem)",
+      s"error - Additional properties are not allowed ('foo' was unexpected) in 'dependent_variables[0].values[2].errors[0]' (expected: $errItem)",
+      "error - 123 is not of type 'string' in 'dependent_variables[0].values[3].errors[0].label' (expected: {'type': 'string'})",
+      s"error - {'label': 123} is not valid under any of the given schemas in 'dependent_variables[0].values[3].errors[0]' (expected: $errItem)",
+      s"error - Additional properties are not allowed ('zzz' was unexpected) in 'dependent_variables[0].values[4].errors[0].asymerror' (expected: $errAsym)"))
+  }
+
+  test("invalid_error_stale.yaml: stale error_plus/error_minus reuse (ref loop locals)") {
+    assert(messagesFor(HepFixtures.errorStale) === Seq(
+      s"error - {'label': 'sys'} is not valid under any of the given schemas in 'dependent_variables[0].values[0].errors[1]' (expected: $errItem)",
+      s"error - {'label': 'x'} is not valid under any of the given schemas in 'dependent_variables[0].values[1].errors[1]' (expected: $errItem)",
+      "error - symerror cannot be empty in 'dependent_variables.values[0].errors[0].symerror'",
+      "error - symerror cannot be empty in 'dependent_variables.values[0].errors[1].symerror'",
+      "error - Uncertainties should not all be zero in 'dependent_variables.values[1].errors'"))
+  }
+
+  test("invalid_error_abort.yaml: NameError on unbound stale value aborts all semantic checks") {
+    // the bad symerror at values[1] AND the 1-vs-2 length mismatch are
+    // suppressed — check_error_values raised before either could run
+    assert(messagesFor(HepFixtures.errorAbort) === Seq(
+      s"error - {'label': 'sys'} is not valid under any of the given schemas in 'dependent_variables[0].values[0].errors[0]' (expected: $errItem)"))
+  }
+
+  test("invalid_error_asym_missing.yaml: KeyError mid-conversion keeps the plus message") {
+    assert(messagesFor(HepFixtures.errorAsymMissing) === Seq(
+      s"error - 'minus' is a required property in 'dependent_variables[0].values[0].errors[0].asymerror' (expected: $errAsym)",
+      "error - Invalid error value 2.x: value must be a number (possibly ending in %) in 'dependent_variables.values[0].errors[0].asymerror.plus'"))
+  }
+
   test("version gates: <1.1.0 skips indep-var checks, major=0 skips all semantic checks") {
     import spark.implicits._
     import graft.hep.SchemaVersion
@@ -121,6 +158,10 @@ class HepDataRulesSpec extends AnyFunSuite {
       "file_with_inconsistent_values.yaml" -> false,
       "binning_average.yaml" -> false,
       "invalid_missing_values.yaml" -> false,
-      "invalid_independent_variables_file.yaml" -> false))
+      "invalid_independent_variables_file.yaml" -> false,
+      "invalid_error_oneof.yaml" -> false,
+      "invalid_error_stale.yaml" -> false,
+      "invalid_error_abort.yaml" -> false,
+      "invalid_error_asym_missing.yaml" -> false))
   }
 }

@@ -1,0 +1,194 @@
+#!/usr/bin/env python3
+"""Extend the jsonschema conformance corpus with the round-3 keywords
+(not, exclusiveMinimum/Maximum incl. the draft-04 boolean form, multipleOf,
+minProperties/maxProperties) plus combos with the existing surface.
+
+Runs the REFERENCE implementation (hepdata_validator
+_validate_json_against_schema, default sort_fn=by_relevance()) on each
+generated (schema, doc) pair and records the formatted messages — the Scala
+evaluator must replay them byte-exactly (JsonSchemaConformanceSpec).
+
+Deterministic: seed 43 (the original 350 cases were seed 42). Appends to
+src/test/resources/golden/jsonschema_conformance.jsonl when run with
+--append; prints to stdout otherwise.
+"""
+import json
+import random
+import sys
+
+sys.path.insert(0, "/root/reference")
+from hepdata_validator import Validator  # noqa: E402
+
+
+class Probe(Validator):
+    base_path = "."
+    schema_name = "probe"
+
+    def validate(self, **kwargs):  # pragma: no cover
+        pass
+
+
+def messages_for(schema, doc):
+    v = Probe()
+    v.messages = {}
+    v._validate_json_against_schema("f", doc, schema)
+    return [m.message for m in v.get_messages().get("f", [])]
+
+
+def shuffled(rng, d):
+    keys = list(d.keys())
+    rng.shuffle(keys)
+    return {k: d[k] for k in keys}
+
+
+def gen_cases(rng):
+    cases = []
+
+    def add(schema, doc):
+        cases.append((schema, doc))
+
+    nums = [0, 1, 3, -2, 2.5, 3.0, 3.5, -0.5, 10, 100]
+    # 1. numeric exclusive bounds (2020-12 numeric form), with/without type
+    for _ in range(24):
+        kw = rng.choice(["exclusiveMinimum", "exclusiveMaximum"])
+        bound = rng.choice(nums)
+        schema = {kw: bound}
+        if rng.random() < 0.5:
+            schema = shuffled(rng, {"type": "number", **schema})
+        add(schema, rng.choice(nums + ["x", [1], {"a": 1}, None, True]))
+
+    # 2. draft-04 boolean exclusive form (+ plain bounds at draft-04)
+    for _ in range(16):
+        bound = rng.choice(nums)
+        excl = rng.random() < 0.7
+        kw = rng.choice([("minimum", "exclusiveMinimum"), ("maximum", "exclusiveMaximum")])
+        schema = {"$schema": "http://json-schema.org/draft-04/schema#",
+                  kw[0]: bound}
+        if excl:
+            schema[kw[1]] = True
+        add(schema, rng.choice(nums))
+
+    # 3. multipleOf: int and float divisors over int/float/non-number docs
+    for _ in range(24):
+        m = rng.choice([1, 2, 3, 5, 0.5, 0.1, 2.5, 1.5])
+        schema = {"multipleOf": m}
+        if rng.random() < 0.4:
+            schema = shuffled(rng, {"type": ["number", "string"], **schema})
+        add(schema, rng.choice(nums + [7, 15, 2.6, -7, "ab", [2], 0.30000000000000004]))
+
+    # 4. min/maxProperties incl. the special 0/1 wordings
+    for _ in range(20):
+        kw = rng.choice(["minProperties", "maxProperties"])
+        n = rng.choice([0, 1, 2, 3])
+        schema = {kw: n}
+        if rng.random() < 0.4:
+            schema = shuffled(rng, {"type": "object", **schema})
+        docs = [{}, {"a": 1}, {"a": 1, "b": 2}, {"a": 1, "b": 2, "c": 3}, "s", 4]
+        add(schema, rng.choice(docs))
+
+    # 5. not: scalar, enum, and object-shaped subschemas
+    for _ in range(22):
+        sub = rng.choice([
+            {"type": "string"},
+            {"type": ["number", "boolean"]},
+            {"enum": ["a", 2, True]},
+            {"const": 5},
+            shuffled(rng, {"properties": {"a": {"const": 1}}, "required": ["a"]}),
+            {"minimum": 3},
+        ])
+        add({"not": sub},
+            rng.choice(["hi", 2, 5, True, {"a": 1}, {"b": 0}, [1, 2], None, 7.5]))
+
+    # 6. nested: new keywords under properties/items (path + expected suffix)
+    for _ in range(28):
+        inner = rng.choice([
+            {"multipleOf": rng.choice([2, 0.5, 3])},
+            {"exclusiveMinimum": rng.choice([0, 2, 1.5])},
+            {"exclusiveMaximum": rng.choice([3, 10.5])},
+            {"minProperties": rng.choice([1, 2])},
+            {"not": {"type": "null"}},
+            shuffled(rng, {"type": "number", "exclusiveMinimum": 1}),
+        ])
+        shape = rng.random()
+        if shape < 0.45:
+            schema = {"properties": {rng.choice(["x", "beta", "k"]): inner}}
+            doc = {rng.choice(["x", "beta", "k"]):
+                   rng.choice([5, 1, 0, 2.5, {"a": 1}, {}, None, "s"])}
+        elif shape < 0.8:
+            schema = {"items": inner}
+            doc = [rng.choice([5, 1, 0, 2.5, {}, None]) for _ in range(rng.randint(1, 3))]
+        else:
+            schema = shuffled(rng, {
+                "properties": {"v": inner}, "required": ["v"],
+                "minProperties": 1})
+            doc = rng.choice([{}, {"v": 4}, {"v": 0.5, "w": 1}])
+        add(schema, doc)
+
+    # 7. combinators over the new keywords (context best-error selection)
+    for _ in range(26):
+        branch_a = rng.choice([
+            shuffled(rng, {"type": "number", "multipleOf": 2}),
+            {"exclusiveMinimum": 5},
+            {"not": {"type": "number"}},
+        ])
+        branch_b = rng.choice([
+            {"enum": ["a", "b"]},
+            shuffled(rng, {"type": "object", "minProperties": 2}),
+            {"multipleOf": 3},
+        ])
+        comb = rng.choice(["anyOf", "oneOf", "allOf"])
+        schema = {comb: [branch_a, branch_b]}
+        if rng.random() < 0.3:
+            schema["$schema"] = "http://json-schema.org/draft-06/schema#"
+            schema = shuffled(rng, schema)
+        add(schema, rng.choice([4, 6, 15, "a", {"x": 1, "y": 2}, {"z": 1}, 2.5]))
+
+    # 8. kitchen-sink objects mixing old + new keywords in random key order
+    for _ in range(20):
+        schema = shuffled(rng, {
+            "type": "object",
+            "properties": {
+                "n": shuffled(rng, {"type": "integer", "multipleOf": 2,
+                                    "exclusiveMaximum": 100}),
+                "s": {"pattern": "^a"},
+                "o": shuffled(rng, {"minProperties": 1, "maxProperties": 2}),
+            },
+            "required": rng.sample(["n", "s", "o"], rng.randint(1, 3)),
+            "maxProperties": 3,
+        })
+        doc = rng.choice([
+            {"n": 3, "s": "abc", "o": {}},
+            {"n": 101, "s": "b", "o": {"a": 1, "b": 2, "c": 3}},
+            {"n": 4},
+            {"n": 2, "s": "a!", "o": {"k": 1}, "extra": 0},
+            {},
+        ])
+        add(schema, doc)
+
+    return cases
+
+
+def main():
+    rng = random.Random(43)
+    cases = gen_cases(rng)
+    lines = []
+    n_msgs = 0
+    for schema, doc in cases:
+        msgs = messages_for(schema, doc)
+        n_msgs += len(msgs)
+        lines.append(json.dumps(
+            {"schema": schema, "doc": doc, "messages": msgs}))
+    out = "\n".join(lines) + "\n"
+    if "--append" in sys.argv:
+        path = "src/test/resources/golden/jsonschema_conformance.jsonl"
+        with open(path, "a") as f:
+            f.write(out)
+        print(f"appended {len(lines)} cases ({n_msgs} messages) to {path}",
+              file=sys.stderr)
+    else:
+        sys.stdout.write(out)
+        print(f"{len(lines)} cases, {n_msgs} messages", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
