@@ -88,28 +88,86 @@ object Similarity {
       .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
   }
 
-  /** IVF (inverted-file) ANN top-k: `nCells` centroids are a deterministic
+  /** IVF (inverted-file) ANN top-k. Centroid seeding is a deterministic
     * seeded uniform sample of the corpus (the vectors with the smallest
-    * xxhash64(id) — a one-pass TopK, no k-means iterations needed for a
-    * recall baseline), collected once on the driver (nCells·dim doubles)
-    * and shipped inside the codegen'd sketch.IvfCells expression. Every
-    * corpus vector takes its single nearest cell; each query probes its
-    * `nprobe` nearest cells; exact cosine + bounded-heap top-k within the
-    * probed cells. Scale shape: centroids broadcast, corpus shuffles once
-    * on cell id (or is bucketed by it at write time), each query touches
-    * ~nprobe/nCells of the corpus instead of scanning it. */
+    * xxhash64 — a one-pass TopK), refined by `lloydIters` Lloyd iterations
+    * run as DataFrame aggregations: assign each vector to its nearest cell
+    * (codegen'd sketch.IvfCells), per-cell mean via posexplode +
+    * groupBy(cell, dim) — the only driver-side state is nCells·dim doubles
+    * per iteration, shipped back inside the expression. A raw hash sample
+    * lands centroids ∝ mass, so on clustered data dense regions get many
+    * near-duplicate cells and sparse regions none, collapsing recall; a
+    * couple of Lloyd sweeps spreads them (recall test in OpsSpec).
+    * Every corpus vector takes its single nearest cell; each query probes
+    * its `nprobe` nearest cells; exact cosine + bounded-heap top-k within
+    * the probed cells. Scale shape: centroids broadcast, corpus shuffles
+    * once on cell id (or is bucketed by it at write time), each query
+    * touches ~nprobe/nCells of the corpus instead of scanning it; each
+    * Lloyd sweep is one extra scan + a nCells·dim-row aggregate. */
+  /** Deterministic farthest-point (k-center greedy) seeding over a small
+    * hash sample: one seed per direction-cluster regardless of cluster MASS
+    * — the property a plain ∝-mass sample lacks. Driver cost is
+    * O(sample·nCells·dim) flops on sample·dim doubles. */
+  private[ops] def farthestPointSeeds(
+      sample: Array[Array[Double]], nCells: Int): Seq[Seq[Double]] = {
+    def unit(a: Array[Double]): Array[Double] = {
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n == 0) a else a.map(_ / n)
+    }
+    val units = sample.map(unit)
+    val chosen = scala.collection.mutable.ArrayBuffer(0)
+    val minDist = Array.fill(sample.length)(Double.MaxValue)
+    while (chosen.size < math.min(nCells, sample.length)) {
+      val last = units(chosen.last)
+      var best = -1
+      var bestD = -1.0
+      var i = 0
+      while (i < sample.length) {
+        var dot = 0.0
+        var j = 0
+        while (j < last.length) { dot += units(i)(j) * last(j); j += 1 }
+        val d = 1.0 - dot // angular distance to the latest seed
+        if (d < minDist(i)) minDist(i) = d
+        if (minDist(i) > bestD) { bestD = minDist(i); best = i }
+        i += 1
+      }
+      chosen += best
+    }
+    chosen.map(sample(_).toSeq).toSeq
+  }
+
   def ivfTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int = 10, nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+      k: Int = 10, nCells: Int = 16, nprobe: Int = 4,
+      lloydIters: Int = 2, spreadSeeds: Boolean = true): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
-    val centroids: Seq[Seq[Double]] = corpus
+    val sampleN = if (spreadSeeds) math.max(nCells, 512) else nCells
+    val sample: Array[Array[Double]] = corpus
       .select(col(corpusVec).cast("array<double>").as("v"))
       .withColumn("h", xxhash64(to_json(col("v"))))
-      .orderBy("h").limit(nCells)
-      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      .orderBy("h").limit(sampleN)
+      .collect().map(_.getSeq[Double](0).toArray)
+    var centroids: Seq[Seq[Double]] =
+      if (spreadSeeds) farthestPointSeeds(sample, nCells)
+      else sample.take(nCells).map(_.toSeq).toSeq
     def cells(vec: String, p: Int) = ColumnBridge.column(
       graft.sketch.IvfCells(ColumnBridge.expression(col(vec)), centroids, p))
+    for (_ <- 1 to lloydIters) {
+      val means = corpus
+        .select(element_at(cells(corpusVec, 1), 1).as("cell"),
+          posexplode(col(corpusVec).cast("array<double>")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val byCell = means.groupBy(_._1)
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        byCell.get(c) match {
+          case Some(ms) => ms.sortBy(_._2).map(_._3).toSeq
+          case None => old // empty cell keeps its centroid
+        }
+      }
+    }
     val cb = corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("cv"))
       .withColumn("cell", element_at(cells("cv", 1), 1))
     val qb = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
@@ -136,11 +194,16 @@ object Similarity {
     val qb = lshTables(queries, queryId, queryVec, nTables, nPlanes, dim)
       .withColumnRenamed("id", "query_id")
       .join(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv")), Seq("query_id"))
+    // score BEFORE deduplicating multi-table collisions: cosine is
+    // deterministic per pair, so the dedup exchange carries 24-byte
+    // (query_id, vec_id, cosine) rows instead of two dim-sized vectors per
+    // candidate pair (a plan assert in OpsSpec pins "no array column
+    // crosses an exchange")
     val scored = cb.join(broadcast(qb), Seq("table", "bucket"))
       .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("qv"), col("cv"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
       .dropDuplicates("query_id", "vec_id")
-      .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("cv")).as("cosine"))
     topKOfScored(scored, k)
   }
 }

@@ -175,6 +175,72 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall $recall too low for nprobe/nCells = 1/4")
   }
 
+  test("IVF Lloyd refinement recovers recall on clustered data") {
+    // Gaussian blobs with skewed sizes: a hash sample lands centroids ∝
+    // mass, so the dense blob gets many near-identical centroids and
+    // same-cluster neighbours scatter across razor-thin cells; Lloyd sweeps
+    // collapse the duplicates (empty cells keep their centroid, live ones
+    // move to the blob means) and recall recovers.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Seq(
+      Array.tabulate(dim)(i => if (i == 0) 10.0 else 0.0),
+      Array.tabulate(dim)(i => if (i == 1) 10.0 else 0.0),
+      Array.tabulate(dim)(i => if (i == 2) 10.0 else 0.0))
+    def blob(c: Array[Double], n: Int, base: Long) = (0 until n).map { j =>
+      (base + j, c.map(x => (x + rnd.nextGaussian() * 0.6).toFloat).toSeq)
+    }
+    val rows = blob(centers(0), 300, 0L) ++ blob(centers(1), 30, 1000L) ++
+      blob(centers(2), 30, 2000L)
+    val corpus = rows.toDF("vec_id", "embedding")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // queries from the two UNDER-SAMPLED clusters — the collapse case
+    val queries = corpus.where(col("vec_id") >= 1000 && col("vec_id") < 1010 ||
+        col("vec_id") >= 2000 && col("vec_id") < 2010)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = asSet(Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qv", k = 10))
+    def recallWith(iters: Int, spread: Boolean) = {
+      val got = asSet(Similarity.ivfTopK(corpus, "vec_id", "embedding",
+        queries, "qid", "qv", k = 10, nCells = 8, nprobe = 1,
+        lloydIters = iters, spreadSeeds = spread))
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val sampled = recallWith(0, spread = false)
+    val refined = recallWith(2, spread = true)
+    info(f"sampled-centroid recall=$sampled%.3f, spread+Lloyd=$refined%.3f")
+    assert(sampled < 0.7, s"sampled baseline unexpectedly strong: $sampled")
+    assert(refined >= 0.9, s"spread+Lloyd recall $refined below 0.9")
+    // production-shaped settings must stay sane for DENSE-cluster queries too
+    val bigQ = corpus.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val bigExact = asSet(Similarity.bruteForceTopK(corpus, "vec_id",
+      "embedding", bigQ, "qid", "qv", k = 10))
+    val bigGot = asSet(Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      bigQ, "qid", "qv", k = 10)) // defaults: 16 cells, nprobe 4, spread+Lloyd
+    val bigRecall = bigExact.intersect(bigGot).size.toDouble / bigExact.size
+    info(f"dense-cluster recall at defaults=$bigRecall%.3f")
+    assert(bigRecall >= 0.75, s"dense-cluster recall $bigRecall too low")
+  }
+
+  test("annTopK: no embedding array crosses an exchange (score before dedup)") {
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val plan = Similarity.annTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5).queryExecution.executedPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.ArrayType
+    plan.foreach {
+      case e: ShuffleExchangeLike =>
+        val arrays = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+        assert(arrays.isEmpty,
+          s"array columns ${arrays.map(_.name)} cross a shuffle:\n$e")
+      case _ => ()
+    }
+  }
+
   test("embedding dedup degrades gracefully under oversized buckets") {
     // a 100-copy cluster overflows its bucket in every table (maxBucket=50)
     // and is dropped VISIBLY; the spread planted pairs are still found
