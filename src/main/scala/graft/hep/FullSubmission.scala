@@ -128,10 +128,16 @@ object FullSubmission {
       .join(schemaBad.select(col("docIdx")), Seq("docIdx"), "left_anti")
       .where(col("parseable"))
       .select(col("docIdx"), col("name"), col("dataFile"), col("dataSchema"))
-    val vByFile = dataViolations.groupBy(col("file"))
-      .agg(collect_list(struct(col("seq"), col("message"))).as("vs"))
-    val invalid = checkable.join(broadcast(vByFile),
-      checkable("dataFile") === vByFile("file"))
+    // No per-file message collection: the reference buffers each file's
+    // violations in a list, but collect_list would buffer a data-dependent
+    // group (a pathological file can carry millions of violations) before
+    // any filter runs — the exact shape this repo bans. The header needs
+    // only EXISTENCE of violations (distinct file names, broadcastable by
+    // construction) and the per-violation messages propagate through a
+    // plain join where the big violation side streams.
+    val vFiles = dataViolations.select(col("file")).distinct()
+    val invalid = checkable.join(broadcast(vFiles),
+      checkable("dataFile") === vFiles("file"), "left_semi")
     // header says "against schema <url>" for remote-schema docs (ref :366)
     val invalidWhat = when(col("dataSchema").isNotNull,
       concat(lit("against schema "), col("dataSchema")))
@@ -144,10 +150,10 @@ object FullSubmission {
     val dfInvalidHdr = invalid
       .select(msg(userPath, col("docIdx"), 1, lit(5), lit(-1), "error",
         concat(userPath, tableMsg, lit(" is invalid "), invalidWhat, lit("."))).as("m"))
-    val dfInvalidMsgs = invalid
-      .select(col("docIdx"), col("dataFile"), col("name"), explode(col("vs")).as("v"))
-      .select(msg(userPath, col("docIdx"), 1, lit(5), col("v.seq"),
-        "error", col("v.message")).as("m"))
+    val dfInvalidMsgs = dataViolations
+      .join(broadcast(checkable), dataViolations("file") === checkable("dataFile"))
+      .select(msg(userPath, col("docIdx"), 1, lit(5), col("seq"),
+        "error", col("message")).as("m"))
 
     // ---- J3: unreferenced-file sweep + MacOS `._` hint -------------------
     // included_files mirrors the reference exactly: submission.yaml, every
@@ -181,8 +187,8 @@ object FullSubmission {
 
     // valid data files: referenced, no '/', exist, within size, parse, and
     // zero data-validator violations (ref: valid_files DATA bookkeeping)
-    val validData = checkable.join(broadcast(vByFile),
-        checkable("dataFile") === vByFile("file"), "left_anti")
+    val validData = checkable.join(broadcast(vFiles),
+        checkable("dataFile") === vFiles("file"), "left_anti")
       .select(col("dataFile").as("file"))
 
     Result(allMsgs, validData)
@@ -258,13 +264,24 @@ object FullSubmission {
         col("message"), col("level")))
         .orderBy("seq")
     } else {
-      checks(spark, submissionPath, docs2, files, dataViolations,
-        version = version, singleYaml = true)
-        .messages
-        .orderBy("file", "k0", "k1", "k2", "k3")
-        .select(col("file"), monotonically_increasing_id().as("seq"),
-          col("message"), col("level"))
+      ordered(checks(spark, submissionPath, docs2, files, dataViolations,
+        version = version, singleYaml = true).messages)
     }
+  }
+
+  /** (file, seq, message, level) in emission order. `seq` is DERIVED from
+    * the sort keys (per-file row_number), never from physical row ids:
+    * monotonically_increasing_id after a sort is only monotone while the
+    * planner keeps range partitioning, and its values jump by 2^33 across
+    * partitions — a repartition-invariance test pins this. */
+  private def ordered(messages: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("file"))
+      .orderBy(col("k0"), col("k1"), col("k2"), col("k3"), col("message"))
+    messages
+      .select(col("file"), (row_number().over(w) - 1).cast("long").as("seq"),
+        col("message"), col("level"))
+      .orderBy("file", "seq")
   }
 
   /** Full pipeline with the reference's short-circuit: if submission.yaml
@@ -289,11 +306,8 @@ object FullSubmission {
         col("message"), col("level")))
         .orderBy("seq")
     } else {
-      checks(spark, submissionPath, docs, files, dataViolations, sizeLimit)
-        .messages
-        .orderBy("file", "k0", "k1", "k2", "k3")
-        .select(col("file"), monotonically_increasing_id().as("seq"),
-          col("message"), col("level"))
+      ordered(checks(spark, submissionPath, docs, files, dataViolations,
+        sizeLimit).messages)
     }
   }
 }

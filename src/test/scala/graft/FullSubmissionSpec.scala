@@ -247,6 +247,25 @@ class FullSubmissionSpec extends AnyFunSuite {
     assert(res.validDataFiles.collect().isEmpty)
   }
 
+  test("message seq is partition-independent (derived from sort keys, not row ids)") {
+    import spark.implicits._
+    val (docs, files, dv) = fixture()
+    def run(docsIn: org.apache.spark.sql.DataFrame,
+        dvIn: org.apache.spark.sql.DataFrame) =
+      FullSubmission.validateAll(spark, Seq(SubFixtures.validRelated).toDS().toDF(),
+          "submission.yaml", docsIn, files, dvIn)
+        .collect().map(r => (r.getAs[String]("file"), r.getAs[Long]("seq"),
+          r.getAs[String]("message"))).toSeq
+    val base = run(docs, dv)
+    assert(base.nonEmpty)
+    // seq values are consecutive per file from 0 (not 2^33-strided ids)
+    base.groupBy(_._1).foreach { case (f, ms) =>
+      assert(ms.map(_._2).sorted === ms.indices.map(_.toLong), f)
+    }
+    val scrambled = run(docs.repartition(7), dv.repartition(5))
+    assert(scrambled === base)
+  }
+
   test("short-circuit: invalid submission.yaml returns only its messages (:180-188)") {
     import spark.implicits._
     val (docs, files, dv) = fixture()
