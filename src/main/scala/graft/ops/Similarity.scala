@@ -140,13 +140,23 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int = 10, nCells: Int = 16, nprobe: Int = 4,
-      lloydIters: Int = 2, spreadSeeds: Boolean = true): DataFrame = {
+      lloydIters: Int = 2, spreadSeeds: Boolean = true,
+      fitCap: Int = 131072): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
-    val sampleN = if (spreadSeeds) math.max(nCells, 512) else nCells
-    val sample: Array[Array[Double]] = corpus
+    // Fit centroids on a CAPPED deterministic hash-sample, cached for the
+    // seed collect + every Lloyd sweep: at 10^12 rows sweeping the full
+    // corpus per iteration would cost lloydIters extra full scans for no
+    // statistical gain — fitCap rows bound the fitting cost regardless of
+    // corpus size, and the one full-corpus scan left is the final cell
+    // assignment. (Below the cap the sample IS the corpus, so small-scale
+    // results are unchanged.)
+    val fit = corpus
       .select(col(corpusVec).cast("array<double>").as("v"))
       .withColumn("h", xxhash64(to_json(col("v"))))
-      .orderBy("h").limit(sampleN)
+      .orderBy("h").limit(fitCap)
+      .persist()
+    val sampleN = if (spreadSeeds) math.max(nCells, 512) else nCells
+    val sample: Array[Array[Double]] = fit.orderBy("h").limit(sampleN)
       .collect().map(_.getSeq[Double](0).toArray)
     var centroids: Seq[Seq[Double]] =
       if (spreadSeeds) farthestPointSeeds(sample, nCells)
@@ -154,9 +164,9 @@ object Similarity {
     def cells(vec: String, p: Int) = ColumnBridge.column(
       graft.sketch.IvfCells(ColumnBridge.expression(col(vec)), centroids, p))
     for (_ <- 1 to lloydIters) {
-      val means = corpus
-        .select(element_at(cells(corpusVec, 1), 1).as("cell"),
-          posexplode(col(corpusVec).cast("array<double>")))
+      val means = fit
+        .select(element_at(cells("v", 1), 1).as("cell"),
+          posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
         .agg(avg(col("col")).as("m"))
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
@@ -168,6 +178,7 @@ object Similarity {
         }
       }
     }
+    fit.unpersist(blocking = false)
     val cb = corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("cv"))
       .withColumn("cell", element_at(cells("cv", 1), 1))
     val qb = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))

@@ -18,27 +18,34 @@ import org.json4s._
   * context" selection per `jsonschema.exceptions.by_relevance` (weak =
   * anyOf/oneOf).
   *
-  * Supported keywords: type (incl. unions), properties, required,
-  * additionalProperties (bool), items (single-schema form), anyOf, oneOf,
-  * allOf, not, const, enum, pattern, maxLength, minLength, minimum, maximum
-  * (incl. the draft-04 boolean exclusiveMinimum/Maximum modifiers),
-  * exclusiveMinimum/Maximum (numeric form), multipleOf,
-  * minProperties/maxProperties, minItems, maxItems, uniqueItems.
+  * Supported keywords: type (incl. unions), properties, patternProperties,
+  * required, additionalProperties (bool, incl. the not-match-any-regex
+  * wording), items (single-schema form), anyOf, oneOf, allOf, not,
+  * if/then/else, const, enum, pattern, maxLength, minLength,
+  * minimum/maximum (incl. the draft-04 boolean exclusiveMinimum/Maximum
+  * modifiers), exclusiveMinimum/Maximum (numeric form), multipleOf,
+  * minProperties/maxProperties, minItems, maxItems, uniqueItems, contains
+  * (+ minContains/maxContains at 2020-12), propertyNames, dependencies
+  * (array and schema forms) and the 2020-12 dependentRequired/
+  * dependentSchemas split. Draft selection follows the root `$schema` like
+  * jsonschema's validator_for (absent ⇒ 2020-12); keywords OUTSIDE the
+  * selected draft's vocabulary are annotations there and are ignored, which
+  * is exactly what the reference does.
   *
-  * Anything else that VALIDATES (patternProperties, dependencies, contains,
-  * if/then/else, tuple-form items, $ref, ...) is rejected LOUDLY at compile
-  * — silently ignoring a validation keyword would under-validate, the worst
-  * failure mode for a validator. Annotation-only keywords (title,
-  * description, default, definitions, ...) are accepted and ignored, as is
-  * `format`: the reference never passes a format_checker, so jsonschema
-  * treats format as an annotation there too (__init__.py:97-122 creates the
-  * validator with no FormatChecker).
+  * The few remaining keywords that WOULD validate ($ref/$dynamicRef,
+  * unevaluatedProperties/Items, prefixItems, tuple/boolean items,
+  * schema-form additionalProperties) are rejected LOUDLY at compile —
+  * silently ignoring a validation keyword would under-validate, the worst
+  * failure mode for a validator. `format` is annotation-only in the
+  * reference (no FormatChecker is ever passed, __init__.py:97-122).
   */
 object JsonSchema {
 
   final case class Compiled(
+      draft: Int, // 4, 6, 7 or 2020 — selected by the ROOT $schema
       types: Option[Seq[String]],
       properties: Seq[(String, Compiled)],
+      patternProps: Seq[(String, Compiled)],
       required: Seq[String],
       additionalAllowed: Boolean,
       items: Option[Compiled],
@@ -46,6 +53,15 @@ object JsonSchema {
       oneOf: Seq[Compiled],
       allOf: Seq[Compiled],
       notSchema: Option[Compiled],
+      // draft-04/06/07 `dependencies` (mixed array/schema forms, dict order)
+      dependencies: Seq[(String, Either[Seq[String], Compiled])],
+      dependentRequired: Seq[(String, Seq[String])], // 2020-12 split
+      dependentSchemas: Seq[(String, Compiled)],
+      propNames: Option[Compiled],
+      containsSchema: Option[Compiled],
+      minContains: Option[Long], maxContains: Option[Long],
+      ifSchema: Option[Compiled],
+      thenSchema: Option[Compiled], elseSchema: Option[Compiled],
       constVal: Option[JValue],
       enumVals: Option[Seq[JValue]],
       pattern: Option[String],
@@ -66,6 +82,8 @@ object JsonSchema {
     @transient lazy val propMap: Map[String, Compiled] = properties.toMap
     @transient lazy val compiledPattern: Option[java.util.regex.Pattern] =
       pattern.map(java.util.regex.Pattern.compile)
+    @transient lazy val compiledPatternProps: Seq[(java.util.regex.Pattern, Compiled)] =
+      patternProps.map { case (p, sub) => java.util.regex.Pattern.compile(p) -> sub }
   }
 
   /** One validation error, pre-formatting. Path elements: Left(index) for
@@ -80,35 +98,75 @@ object JsonSchema {
 
   // ---------------------------------------------------------------- compile
 
-  /** Spec-defined validation keywords the evaluator does NOT implement.
-    * These are rejected LOUDLY at compile: silently ignoring a keyword the
-    * reference's jsonschema WOULD enforce is under-validation, the worst
-    * failure mode for a validator. Keywords outside this set that we don't
-    * handle are genuinely unknown to jsonschema too (it ignores them as
-    * annotations — e.g. the reference's own custom_data_schema carries a
-    * non-spec 'name' key), so ignoring them is faithful. `format` is
-    * likewise annotation-only in the reference (no FormatChecker is ever
-    * passed, __init__.py:97-122); $ref is inlined by SchemaResolver BEFORE
-    * compile, so one surviving here is a resolution bug. */
-  private val UnsupportedValidation = Set(
-    "$ref", "$dynamicRef", "$recursiveRef", "patternProperties",
-    "dependencies", "dependentRequired", "dependentSchemas", "propertyNames",
-    "contains", "minContains", "maxContains", "if", "then", "else",
-    "unevaluatedProperties", "unevaluatedItems", "prefixItems",
-    "additionalItems")
+  /** Spec-defined validation keywords the evaluator does NOT implement, per
+    * draft. These are rejected LOUDLY at compile: silently ignoring a
+    * keyword the reference's jsonschema WOULD enforce is under-validation,
+    * the worst failure mode for a validator. Keywords OUTSIDE a draft's
+    * vocabulary are a different story: jsonschema ignores them as
+    * annotations (e.g. `dependencies` under 2020-12, `if` under draft-06,
+    * or the reference's own non-spec 'name' key), so ignoring them is
+    * faithful. `format` is likewise annotation-only in the reference (no
+    * FormatChecker is ever passed, __init__.py:97-122); $ref is inlined by
+    * SchemaResolver BEFORE compile, so one surviving here is a resolution
+    * bug. */
+  private def unsupportedIn(draft: Int): Set[String] =
+    if (draft >= 2020)
+      Set("$ref", "$dynamicRef", "prefixItems",
+        "unevaluatedProperties", "unevaluatedItems")
+    else Set("$ref")
+
+  /** The validation vocabulary of each draft — keywords outside it are
+    * annotations there (jsonschema ignores them; so do we). */
+  private val BaseKeywords = Set(
+    "type", "properties", "patternProperties", "required",
+    "additionalProperties", "items", "anyOf", "oneOf", "allOf", "not",
+    "enum", "pattern", "maxLength", "minLength", "minimum", "maximum",
+    "multipleOf", "minItems", "maxItems", "uniqueItems",
+    "minProperties", "maxProperties")
+  private def inDraft(kw: String, draft: Int): Boolean = kw match {
+    case k if BaseKeywords(k) => true
+    case "dependencies" => draft < 2020
+    case "exclusiveMinimum" | "exclusiveMaximum" => true // bool@4, numeric@6+
+    case "const" | "contains" | "propertyNames" => draft >= 6
+    case "if" | "then" | "else" => draft >= 7
+    case "dependentRequired" | "dependentSchemas" |
+         "minContains" | "maxContains" => draft >= 2020
+    case _ => false
+  }
+
+  private def draftOf(f: Map[String, JValue]): Int =
+    f.get("$schema") match {
+      case Some(JString(u)) if u.contains("draft-04") => 4
+      case Some(JString(u)) if u.contains("draft-06") => 6
+      case Some(JString(u)) if u.contains("draft-07") => 7
+      case _ => 2020 // absent, 2019-09 and 2020-12 all get the modern set
+    }
 
   def compile(j: JValue): Compiled = j match {
+    case o: JObject => compile(o, draftOf(o.obj.toMap))
+    case other => compile(other, 2020)
+  }
+
+  private def compile(j: JValue, draft: Int): Compiled = j match {
     case o: JObject =>
-      val f = o.obj.toMap
-      val unsupported = f.keySet.intersect(UnsupportedValidation)
+      val f0 = o.obj.toMap
+      val unsupported = f0.keySet.intersect(unsupportedIn(draft))
       if (unsupported.nonEmpty)
         throw new IllegalArgumentException(
           "unsupported JSON-Schema validation keyword(s): " +
             unsupported.toSeq.sorted.mkString(", ") +
             " — refusing to compile (silently ignoring a validation keyword" +
             " would under-validate)")
+      // per-draft vocabulary: keywords the draft treats as annotations are
+      // dropped here, so their walk() cases never see a value
+      val f = f0.filter { case (k, _) => inDraft(k, draft) }
+      def sub1(k: String): Option[Compiled] = f.get(k) match {
+        case Some(o2: JObject) => Some(compile(o2, draft))
+        case Some(JBool(true)) => Some(compile(JObject(), draft))
+        case _ => None
+      }
       def subs(k: String): Seq[Compiled] = f.get(k) match {
-        case Some(JArray(xs)) => xs.map(compile)
+        case Some(JArray(xs)) => xs.map(compile(_, draft))
         case _ => Nil
       }
       def strs(k: String): Seq[String] = f.get(k) match {
@@ -123,9 +181,14 @@ object JsonSchema {
         case _ => None
       }
       Compiled(
+        draft = draft,
         types = f.get("type").map(_ => strs("type")),
         properties = f.get("properties") match {
-          case Some(JObject(ps)) => ps.map { case (k, v) => k -> compile(v) }
+          case Some(JObject(ps)) => ps.map { case (k, v) => k -> compile(v, draft) }
+          case _ => Nil
+        },
+        patternProps = f.get("patternProperties") match {
+          case Some(JObject(ps)) => ps.map { case (k, v) => k -> compile(v, draft) }
           case _ => Nil
         },
         required = strs("required"),
@@ -136,7 +199,7 @@ object JsonSchema {
           case _ => true
         },
         items = f.get("items") match {
-          case Some(o2: JObject) => Some(compile(o2))
+          case Some(o2: JObject) => Some(compile(o2, draft))
           case Some(JArray(_)) =>
             throw new IllegalArgumentException("tuple-form 'items' unsupported")
           case Some(JBool(_)) => throw new IllegalArgumentException(
@@ -144,7 +207,35 @@ object JsonSchema {
           case _ => None
         },
         anyOf = subs("anyOf"), oneOf = subs("oneOf"), allOf = subs("allOf"),
-        notSchema = f.get("not").map(compile),
+        notSchema = f.get("not").map(compile(_, draft)),
+        dependencies = f.get("dependencies") match {
+          case Some(JObject(ds)) => ds.map {
+            case (k, JArray(xs)) =>
+              k -> Left(xs.collect { case JString(s) => s })
+            case (k, JString(s)) => k -> Left(Seq(s)) // draft-03 relic form
+            case (k, v) => k -> Right(compile(v, draft))
+          }
+          case _ => Nil
+        },
+        dependentRequired = f.get("dependentRequired") match {
+          case Some(JObject(ds)) => ds.map { case (k, v) =>
+            k -> (v match {
+              case JArray(xs) => xs.collect { case JString(s) => s }
+              case _ => Nil
+            })
+          }
+          case _ => Nil
+        },
+        dependentSchemas = f.get("dependentSchemas") match {
+          case Some(JObject(ds)) => ds.map { case (k, v) => k -> compile(v, draft) }
+          case _ => Nil
+        },
+        propNames = sub1("propertyNames"),
+        containsSchema = sub1("contains"),
+        minContains = num("minContains").map(_.toLong),
+        maxContains = num("maxContains").map(_.toLong),
+        ifSchema = sub1("if"),
+        thenSchema = sub1("then"), elseSchema = sub1("else"),
         constVal = f.get("const"),
         enumVals = f.get("enum").collect { case JArray(xs) => xs },
         pattern = f.get("pattern").collect { case JString(s) => s },
@@ -170,9 +261,9 @@ object JsonSchema {
         maxItems = num("maxItems").map(_.toLong),
         uniqueItems = f.get("uniqueItems").contains(JBool(true)),
         repr = PyRepr.render(j),
-        hasSchemaKey = f.contains("$schema"),
+        hasSchemaKey = f0.contains("$schema"),
         keyOrder = o.obj.map(_._1))
-    case JBool(true) => compile(JObject())
+    case JBool(true) => compile(JObject(), draft)
     case other =>
       throw new IllegalArgumentException(s"unsupported schema node: $other")
   }
@@ -279,12 +370,24 @@ object JsonSchema {
       }
       case "additionalProperties" => v match {
         case JObject(fields) if !s.additionalAllowed =>
-          val extras = fields.map(_._1).toSet
-            .diff(s.properties.map(_._1).toSet).toSeq.sorted
+          // "additional" = not named in properties AND not matched by any
+          // patternProperties regex (jsonschema find_additional_properties)
+          val named = s.properties.map(_._1).toSet
+          val extras = fields.map(_._1).distinct.filter { k =>
+            !named.contains(k) &&
+              !s.compiledPatternProps.exists(_._1.matcher(k).find())
+          }.sorted
           if (extras.nonEmpty) {
-            val verb = if (extras.size == 1) "was" else "were"
-            out += err(s, v, rpath, "additionalProperties",
-              s"Additional properties are not allowed (${extras.map(PyRepr.str).mkString(", ")} $verb unexpected)")
+            if (s.patternProps.nonEmpty) {
+              val verb = if (extras.size == 1) "does" else "do"
+              val pats = s.patternProps.map(_._1).sorted.map(PyRepr.str)
+              out += err(s, v, rpath, "additionalProperties",
+                s"${extras.map(PyRepr.str).mkString(", ")} $verb not match any of the regexes: ${pats.mkString(", ")}")
+            } else {
+              val verb = if (extras.size == 1) "was" else "were"
+              out += err(s, v, rpath, "additionalProperties",
+                s"Additional properties are not allowed (${extras.map(PyRepr.str).mkString(", ")} $verb unexpected)")
+            }
           }
         case _ => ()
       }
@@ -296,6 +399,96 @@ object JsonSchema {
             }
           }
         case _ => ()
+      }
+      case "patternProperties" => v match {
+        case JObject(fields) =>
+          s.compiledPatternProps.foreach { case (pat, sub) =>
+            fields.foreach { case (k, fv) =>
+              if (pat.matcher(k).find()) walk(sub, fv, Right(k) :: rpath, out)
+            }
+          }
+        case _ => ()
+      }
+      case "propertyNames" => v match {
+        case JObject(fields) => s.propNames.foreach { sub =>
+          // each KEY is validated as an instance; the path stays put
+          fields.foreach { case (k, _) => walk(sub, JString(k), rpath, out) }
+        }
+        case _ => ()
+      }
+      case "dependencies" => v match {
+        case JObject(fields) =>
+          val keys = fields.map(_._1).toSet
+          s.dependencies.foreach {
+            case (prop, _) if !keys.contains(prop) => ()
+            case (prop, Left(reqs)) => reqs.foreach { r =>
+              if (!keys.contains(r))
+                out += err(s, v, rpath, "dependencies",
+                  s"${PyRepr.str(r)} is a dependency of ${PyRepr.str(prop)}")
+            }
+            case (_, Right(sub)) => walk(sub, v, rpath, out)
+          }
+        case _ => ()
+      }
+      case "dependentRequired" => v match {
+        case JObject(fields) =>
+          val keys = fields.map(_._1).toSet
+          s.dependentRequired.foreach { case (prop, reqs) =>
+            if (keys.contains(prop)) reqs.foreach { r =>
+              if (!keys.contains(r))
+                out += err(s, v, rpath, "dependentRequired",
+                  s"${PyRepr.str(r)} is a dependency of ${PyRepr.str(prop)}")
+            }
+          }
+        case _ => ()
+      }
+      case "dependentSchemas" => v match {
+        case JObject(fields) =>
+          val keys = fields.map(_._1).toSet
+          s.dependentSchemas.foreach { case (prop, sub) =>
+            if (keys.contains(prop)) walk(sub, v, rpath, out)
+          }
+        case _ => ()
+      }
+      case "contains" => v match {
+        case JArray(xs) => s.containsSchema.foreach { sub =>
+          if (s.draft >= 2020) {
+            // 2020-12: minContains/maxContains modify it; early-out on the
+            // first overflow like jsonschema's loop
+            val minC = s.minContains.getOrElse(1L)
+            val maxC = s.maxContains.getOrElse(xs.size.toLong)
+            var matches = 0L
+            var overflowed = false
+            val it = xs.iterator
+            while (it.hasNext && !overflowed) {
+              if (errors(sub, it.next()).isEmpty) {
+                matches += 1
+                if (matches > maxC) {
+                  overflowed = true
+                  out += err(s, v, rpath, "maxContains",
+                    s"Too many items match the given schema (expected at most $maxC)")
+                }
+              }
+            }
+            if (!overflowed && matches < minC) {
+              if (matches == 0)
+                out += err(s, v, rpath, "contains",
+                  s"${PyRepr.render(v)} does not contain items matching the given schema")
+              else
+                out += err(s, v, rpath, "minContains",
+                  s"Too few items match the given schema (expected at least $minC but only $matches matched)")
+            }
+          } else { // draft-06/07 wording
+            if (!xs.exists(x => errors(sub, x).isEmpty))
+              out += err(s, v, rpath, "contains",
+                s"None of ${PyRepr.render(v)} are valid under the given schema")
+          }
+        }
+        case _ => ()
+      }
+      case "if" => s.ifSchema.foreach { cond =>
+        if (errors(cond, v).isEmpty) s.thenSchema.foreach(walk(_, v, rpath, out))
+        else s.elseSchema.foreach(walk(_, v, rpath, out))
       }
       case "items" => v match {
         case JArray(xs) => s.items.foreach { sub =>

@@ -168,9 +168,136 @@ def gen_cases(rng):
     return cases
 
 
+def gen_cases_44(rng):
+    """Round-3 second batch: patternProperties, dependencies (both forms,
+    across drafts), dependentRequired/Schemas, propertyNames, contains
+    (+min/maxContains and the draft-07 wording), if/then/else, and the
+    not-match-any-regex additionalProperties message."""
+    cases = []
+
+    def add(schema, doc):
+        cases.append((schema, doc))
+
+    objs = [{}, {"a1": "s"}, {"ab": "x"}, {"a1": 2, "b2": "y"}, {"b": 1.5},
+            {"ab": 3, "zz": "w"}, {"a": 1, "b": 2}, {"x": [1]}, {"a": 5},
+            {"ab": 1, "qqq": 2}, {"a": 1, "longkey": []}, {"ab": "x", "b": "y"}]
+    # patternProperties alone + with properties + addProps regex wording
+    for _ in range(24):
+        pp = rng.choice([
+            {"^a": {"type": "number"}},
+            {"^a": {"type": "number"}, "b$": {"type": "string"}},
+            {"\\d": shuffled(rng, {"type": "integer", "multipleOf": 2})},
+        ])
+        schema = {"patternProperties": pp}
+        r = rng.random()
+        if r < 0.3:
+            schema["properties"] = {"ab": {"maxLength": 1}}
+        if r > 0.75:
+            schema["additionalProperties"] = False
+        add(shuffled(rng, schema), rng.choice(objs))
+
+    # dependencies across drafts; dependentRequired/Schemas at 2020-12
+    for _ in range(26):
+        form = rng.random()
+        dep_arr = {rng.choice(["a", "ab"]): rng.sample(["b", "c", "zz"],
+                                                       rng.randint(1, 2))}
+        dep_sch = {"a": shuffled(rng, {"minProperties": 2, "required": ["b"]})}
+        if form < 0.4:
+            d = rng.choice(["http://json-schema.org/draft-04/schema#",
+                            "http://json-schema.org/draft-07/schema#"])
+            schema = shuffled(rng, {"$schema": d, "dependencies":
+                                    rng.choice([dep_arr, dep_sch])})
+        elif form < 0.6:
+            # 2020-12 ignores `dependencies` entirely
+            schema = {"dependencies": dep_arr}
+        elif form < 0.8:
+            schema = {"dependentRequired": dep_arr}
+        else:
+            schema = {"dependentSchemas": dep_sch}
+        add(schema, rng.choice(objs))
+
+    # propertyNames
+    for _ in range(12):
+        sub = rng.choice([{"maxLength": 2}, {"pattern": "^[ab]"},
+                          shuffled(rng, {"type": "string", "minLength": 2})])
+        schema = {"propertyNames": sub}
+        if rng.random() < 0.3:
+            schema = {"properties": {"p": schema}}
+            add(schema, {"p": rng.choice(objs)})
+        else:
+            add(schema, rng.choice(objs + ["notobj", 3]))
+
+    # contains across drafts + min/maxContains (biased toward failures)
+    arrs = [[], ["a"], ["a", "b"], [1, "a"], [1, 2, "a"], [1, 2, 3],
+            [[], {}], [2, 3], ["a", "b", "c"]]
+    for _ in range(22):
+        sub = rng.choice([{"type": "number"}, {"const": 1},
+                          shuffled(rng, {"type": "string", "minLength": 1})])
+        schema = {"contains": sub}
+        r = rng.random()
+        if r < 0.3:
+            schema["$schema"] = rng.choice(
+                ["http://json-schema.org/draft-06/schema#",
+                 "http://json-schema.org/draft-07/schema#"])
+        elif r < 0.6:
+            if rng.random() < 0.5:
+                schema["minContains"] = rng.randint(0, 3)
+            if rng.random() < 0.5:
+                schema["maxContains"] = rng.randint(0, 2)
+        add(shuffled(rng, schema), rng.choice(arrs))
+
+    # if/then/else (draft-07 and 2020-12), incl. nesting
+    for _ in range(18):
+        cond = rng.choice([{"type": "number"},
+                           shuffled(rng, {"properties": {"a": {"const": 1}},
+                                          "required": ["a"]})])
+        schema = {"if": cond}
+        if rng.random() < 0.8:
+            schema["then"] = rng.choice([{"minimum": 5}, {"required": ["b"]}])
+        if rng.random() < 0.6:
+            schema["else"] = rng.choice([{"maxLength": 1}, {"required": ["c"]}])
+        if rng.random() < 0.25:
+            schema = {"properties": {"p": shuffled(rng, schema)}}
+            add(schema, {"p": rng.choice([3, 7, "ab", {"a": 1}, {"a": 2}])})
+        else:
+            add(shuffled(rng, schema), rng.choice([3, 7, "ab", {"a": 1}, {"a": 2}]))
+
+    # deterministic must-cover pairs: one per message form, immune to RNG
+    # drift (the random cases above add breadth, these guarantee depth)
+    cases += [
+        ({"patternProperties": {"^a": {"type": "number"}},
+          "additionalProperties": False}, {"zz": 1, "a1": 2}),
+        ({"patternProperties": {"^a": {}}, "additionalProperties": False},
+         {"b": 1, "c": 2}),
+        ({"$schema": "http://json-schema.org/draft-04/schema#",
+          "dependencies": {"a": ["b", "c"]}}, {"a": 1}),
+        ({"$schema": "http://json-schema.org/draft-07/schema#",
+          "dependencies": {"a": {"minProperties": 2}}}, {"a": 1}),
+        ({"dependentRequired": {"a": ["b", "c"]}}, {"a": 1}),
+        ({"dependentSchemas": {"a": {"required": ["b"]}}}, {"a": 1}),
+        ({"propertyNames": {"maxLength": 2}}, {"abc": 1, "ab": 2}),
+        ({"propertyNames": {"pattern": "^x"}}, {"yz": 1}),
+        ({"contains": {"type": "number"}}, ["a", "b"]),
+        ({"contains": {"type": "number"}, "minContains": 2}, [1, "a"]),
+        ({"contains": {"type": "number"}, "minContains": 3}, ["a"]),
+        ({"contains": {"type": "number"}, "maxContains": 1}, [1, 2, "a"]),
+        ({"contains": {"type": "number"}, "minContains": 0}, []),
+        ({"$schema": "http://json-schema.org/draft-06/schema#",
+          "contains": {"const": 1}}, [2, 3]),
+        ({"if": {"type": "number"}, "then": {"minimum": 5}}, 3),
+        ({"if": {"type": "number"}, "else": {"maxLength": 1}}, "abc"),
+        ({"properties": {"p": {"if": {"type": "number"},
+                               "then": {"multipleOf": 2}}}}, {"p": 3}),
+        ({"minProperties": 2, "dependentRequired": {"a": ["b"]}}, {"a": 1}),
+    ]
+    return cases
+
+
 def main():
     rng = random.Random(43)
     cases = gen_cases(rng)
+    if "--batch44" in sys.argv:
+        cases = gen_cases_44(random.Random(44))
     lines = []
     n_msgs = 0
     for schema, doc in cases:
