@@ -545,8 +545,12 @@ object SparkEntry {
           ('file_with_zero_uncertainty.yaml', CAST(1 AS BIGINT), false),
           ('invalid_error_abort.yaml', CAST(1 AS BIGINT), false),
           ('invalid_error_asym_missing.yaml', CAST(2 AS BIGINT), false),
+          ('invalid_error_asym_object.yaml', CAST(1 AS BIGINT), false),
+          ('invalid_error_member_types.yaml', CAST(5 AS BIGINT), false),
           ('invalid_error_oneof.yaml', CAST(6 AS BIGINT), false),
+          ('invalid_error_plus_list.yaml', CAST(1 AS BIGINT), false),
           ('invalid_error_stale.yaml', CAST(5 AS BIGINT), false),
+          ('invalid_error_sym_list.yaml', CAST(1 AS BIGINT), false),
           ('invalid_file.yaml', CAST(5 AS BIGINT), false),
           ('invalid_independent_variables_file.yaml', CAST(10 AS BIGINT), false),
           ('invalid_missing_values.yaml', CAST(1 AS BIGINT), false),

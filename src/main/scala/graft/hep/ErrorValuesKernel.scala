@@ -55,6 +55,10 @@ case class ErrorValuesKernel(child: Expression) extends UnaryExpression {
   @transient private lazy val oMinusRaw = errSt.fieldIndex("minusRaw")
   @transient private lazy val oHasPlus = errSt.fieldIndex("hasPlus")
   @transient private lazy val oHasMinus = errSt.fieldIndex("hasMinus")
+  @transient private lazy val oSymRepr = errSt.fieldIndex("symRepr")
+  @transient private lazy val oAsymRepr = errSt.fieldIndex("asymRepr")
+  @transient private lazy val oPlusRepr = errSt.fieldIndex("plusRepr")
+  @transient private lazy val oMinusRepr = errSt.fieldIndex("minusRepr")
 
   override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
 
@@ -115,31 +119,48 @@ case class ErrorValuesKernel(child: Expression) extends UnaryExpression {
               if (e == null) {
                 aborted = true // a non-mapping error entry: TypeError
               } else if (e.getBoolean(oHasSym)) {
+                // non-(number|string) symerror (repr carrier set): Python
+                // float(bool) SUCCEEDS as 1.0/0.0, float of anything else
+                // (list/dict/None) raises TypeError -> abort
+                val badType = !e.isNullAt(oSymRepr)
                 val raw = e.getUTF8String(oSymRaw)
-                if (raw == null) aborted = true // float(None): TypeError
-                else {
+                if (badType && raw != null &&
+                    (raw.toString == "True" || raw.toString == "False")) {
+                  val n = if (raw.toString == "True") 1.0 else 0.0
+                  pKind = KindNum; pNum = n; mKind = KindNum; mNum = n
+                } else if (badType || raw == null) {
+                  aborted = true // float(non-scalar): TypeError
+                } else {
                   val (kd, n) = parse(raw, k, i, j, "symerror", 0, 0)
                   pKind = kd; pNum = n; mKind = kd; mNum = n
                 }
               } else if (e.getBoolean(oHasAsym)) {
                 hasAsymFlag = true
-                if (!e.getBoolean(oHasPlus)) aborted = true // KeyError 'plus'
-                else {
-                  val praw = e.getUTF8String(oPlusRaw)
-                  if (praw == null) aborted = true
+                def member(hasOrd: Int, rawOrd: Int, reprOrd: Int,
+                    sub: String, k4: Int, k5: Int): Option[(Int, Double)] = {
+                  // KeyError on a missing member, TypeError on subscripting
+                  // a non-mapping asymerror or float() of a non-scalar;
+                  // bools again convert to 1.0/0.0
+                  if (!e.isNullAt(oAsymRepr) || !e.getBoolean(hasOrd)) None
                   else {
-                    val (kd, n) = parse(praw, k, i, j, "asymerror.plus", 0, 1)
-                    pKind = kd; pNum = n
-                    if (!e.getBoolean(oHasMinus)) aborted = true // KeyError
-                    else {
-                      val mraw = e.getUTF8String(oMinusRaw)
-                      if (mraw == null) aborted = true
-                      else {
-                        val (kd2, n2) = parse(mraw, k, i, j, "asymerror.minus", 1, 0)
-                        mKind = kd2; mNum = n2
-                      }
-                    }
+                    val badType = !e.isNullAt(reprOrd)
+                    val raw = e.getUTF8String(rawOrd)
+                    if (badType && raw != null &&
+                        (raw.toString == "True" || raw.toString == "False"))
+                      Some((KindNum, if (raw.toString == "True") 1.0 else 0.0))
+                    else if (badType || raw == null) None
+                    else Some(parse(raw, k, i, j, sub, k4, k5))
                   }
+                }
+                member(oHasPlus, oPlusRaw, oPlusRepr, "asymerror.plus", 0, 1) match {
+                  case None => aborted = true
+                  case Some((kd, n)) =>
+                    pKind = kd; pNum = n
+                    member(oHasMinus, oMinusRaw, oMinusRepr,
+                        "asymerror.minus", 1, 0) match {
+                      case None => aborted = true
+                      case Some((kd2, n2)) => mKind = kd2; mNum = n2
+                    }
                 }
               } else {
                 // neither key: the reference falls through to

@@ -172,10 +172,9 @@ object HepDataRules {
       val nested = flatten(transform(dv.getField("values"), (x, i) => {
         // per-error-mapping schema checks, in the error-item schema's own
         // keyword order (type < properties < oneOf < additionalProperties;
-        // properties order symerror < asymerror < label) — k5 encodes it.
-        // The symerror/asymerror-member TYPE checks need a non-scalar raw
-        // (list/mapping) which the row model cannot carry; every other check
-        // of the published error-item schemas is emitted.
+        // properties order symerror < asymerror < label, and inside
+        // asymerror: member types < required < addProps) — k5 encodes it.
+        // Member TYPE failures ride on the HepErr *Repr carriers.
         val errChecks = flatten(transform(x.getField("errors"), (e, j) => {
           val errLoc = concat(
             lit(" in 'dependent_variables["), str(k), lit("].values["),
@@ -189,37 +188,62 @@ object HepDataRules {
               tailAndRepr)
           val nOneOf = e.getField("hasSym").cast("int") +
             e.getField("hasAsym").cast("int")
+          // an asymerror that is not a mapping fails its own `type` keyword
+          // and jsonschema never recurses into properties/required/addProps
+          val asymIsObj = e.getField("hasAsym") && e.getField("asymRepr").isNull
           filter(array(
-            optVio(lit(v1) && e.getField("hasAsym") && !e.getField("hasMinus"),
+            optVio(e.getField("hasSym") && e.getField("symRepr").isNotNull,
+              vio(0, lit(1), k, i, j, lit(0),
+                concat(e.getField("symRepr"),
+                  lit(" is not of type 'number', 'string'"), errLoc,
+                  lit(s".symerror' (expected: ${reprs.errorSym})")))),
+            optVio(e.getField("hasAsym") && e.getField("asymRepr").isNotNull,
               vio(0, lit(1), k, i, j, lit(1),
+                concat(e.getField("asymRepr"),
+                  lit(" is not of type 'object'"), errLoc,
+                  lit(s".asymerror' (expected: $errAsymRepr)")))),
+            optVio(asymIsObj && e.getField("hasMinus") &&
+                e.getField("minusRepr").isNotNull,
+              vio(0, lit(1), k, i, j, lit(2),
+                concat(e.getField("minusRepr"),
+                  lit(" is not of type 'number', 'string'"), errLoc,
+                  lit(s".asymerror.minus' (expected: ${reprs.errorAsymMinus})")))),
+            optVio(asymIsObj && e.getField("hasPlus") &&
+                e.getField("plusRepr").isNotNull,
+              vio(0, lit(1), k, i, j, lit(3),
+                concat(e.getField("plusRepr"),
+                  lit(" is not of type 'number', 'string'"), errLoc,
+                  lit(s".asymerror.plus' (expected: ${reprs.errorAsymPlus})")))),
+            optVio(lit(v1) && asymIsObj && !e.getField("hasMinus"),
+              vio(0, lit(1), k, i, j, lit(4),
                 concat(lit("'minus' is a required property"), errLoc,
                   lit(s".asymerror' (expected: $errAsymRepr)")))),
-            optVio(lit(v1) && e.getField("hasAsym") && !e.getField("hasPlus"),
-              vio(0, lit(1), k, i, j, lit(2),
+            optVio(lit(v1) && asymIsObj && !e.getField("hasPlus"),
+              vio(0, lit(1), k, i, j, lit(5),
                 concat(lit("'plus' is a required property"), errLoc,
                   lit(s".asymerror' (expected: $errAsymRepr)")))),
-            optVio(lit(v1) && e.getField("hasAsym") &&
+            optVio(lit(v1) && asymIsObj &&
                 size(e.getField("asymExtraKeys")) > 0,
-              vio(0, lit(1), k, i, j, lit(3),
+              vio(0, lit(1), k, i, j, lit(6),
                 addPropsMsg(e.getField("asymExtraKeys"),
                   concat(errLoc, lit(s".asymerror' (expected: $errAsymRepr)"))))),
             optVio(e.getField("hasLabel") && !e.getField("labelIsString"),
-              vio(0, lit(1), k, i, j, lit(4),
+              vio(0, lit(1), k, i, j, lit(7),
                 concat(e.getField("labelRaw"),
                   lit(" is not of type 'string'"), errLoc,
                   lit(s".label' (expected: $labelRepr)")))),
             optVio(lit(v1) && nOneOf === 0,
-              vio(0, lit(1), k, i, j, lit(5),
+              vio(0, lit(1), k, i, j, lit(8),
                 concat(coalesce(e.getField("instanceRepr"), lit("{}")),
                   lit(" is not valid under any of the given schemas"), errLoc,
                   lit(s"' (expected: $errItemRepr)")))),
             optVio(lit(v1) && nOneOf === 2,
-              vio(0, lit(1), k, i, j, lit(5),
+              vio(0, lit(1), k, i, j, lit(8),
                 concat(coalesce(e.getField("instanceRepr"), lit("{}")),
                   lit(" is valid under each of {'required': ['asymerror']}, {'required': ['symerror']}"),
                   errLoc, lit(s"' (expected: $errItemRepr)")))),
             optVio(size(e.getField("extraKeys")) > 0,
-              vio(0, lit(1), k, i, j, lit(6),
+              vio(0, lit(1), k, i, j, lit(9),
                 addPropsMsg(e.getField("extraKeys"),
                   concat(errLoc, lit(s"' (expected: $errItemRepr)")))))), nn(_))
         }))

@@ -181,8 +181,59 @@ object HepFixtures {
         hasMinus = false))),
       dval("9.2", Seq(sym("bad2")))))))
 
+  /** member-type failures that do NOT abort the semantic checks: bools fail
+    * the schema type check but Python float(True/False) = 1.0/0.0, so the
+    * stale machinery keeps running (False ⇒ all-zero fires) */
+  val errorMemberTypes: HepRow = row("invalid_error_member_types.yaml",
+    indep = Seq(indepVar("X", numPoints(3))),
+    dep = Seq(depVar("Y", Seq(
+      dval("2", Seq(
+        HepErr(hasSym = true, symRaw = "True", hasAsym = false,
+          plusRaw = null, minusRaw = null, hasLabel = false, labelRaw = null,
+          labelIsString = true, extraKeys = Nil, symRepr = "True"),
+        noneErr("{'label': 'sys'}", "sys"))),
+      dval("2", Seq(
+        HepErr(hasSym = true, symRaw = "False", hasAsym = false,
+          plusRaw = null, minusRaw = null, hasLabel = false, labelRaw = null,
+          labelIsString = true, extraKeys = Nil, symRepr = "False"))),
+      dval("2", Seq(
+        HepErr(hasSym = false, symRaw = null, hasAsym = true,
+          plusRaw = "0.1", minusRaw = "True", hasLabel = false,
+          labelRaw = null, labelIsString = true, extraKeys = Nil,
+          minusRepr = "True")))))))
+
+  /** list-valued symerror: schema type error, then float([1, 2]) raises
+    * TypeError → the later bad symerror is suppressed */
+  val errorSymList: HepRow = row("invalid_error_sym_list.yaml",
+    indep = Seq(indepVar("X", numPoints(2))),
+    dep = Seq(depVar("Y", Seq(
+      dval("2", Seq(HepErr(hasSym = true, symRaw = null, hasAsym = false,
+        plusRaw = null, minusRaw = null, hasLabel = false, labelRaw = null,
+        labelIsString = true, extraKeys = Nil, symRepr = "[1, 2]"))),
+      dval("2", Seq(sym("bad")))))))
+
+  /** non-mapping asymerror: type error, then subscripting raises → abort */
+  val errorAsymObject: HepRow = row("invalid_error_asym_object.yaml",
+    indep = Seq(indepVar("X", numPoints(2))),
+    dep = Seq(depVar("Y", Seq(
+      dval("2", Seq(HepErr(hasSym = false, symRaw = null, hasAsym = true,
+        plusRaw = null, minusRaw = null, hasLabel = false, labelRaw = null,
+        labelIsString = true, extraKeys = Nil, hasPlus = false,
+        hasMinus = false, asymRepr = "5"))),
+      dval("2", Seq(sym("bad")))))))
+
+  /** list-valued asymerror.plus: member type error, float([1]) raises */
+  val errorPlusList: HepRow = row("invalid_error_plus_list.yaml",
+    indep = Seq(indepVar("X", numPoints(2))),
+    dep = Seq(depVar("Y", Seq(
+      dval("2", Seq(HepErr(hasSym = false, symRaw = null, hasAsym = true,
+        plusRaw = null, minusRaw = "0.1", hasLabel = false, labelRaw = null,
+        labelIsString = true, extraKeys = Nil, plusRepr = "[1]"))),
+      dval("2", Seq(sym("bad")))))))
+
   val all: Seq[HepRow] = Seq(validFile, invalidFile, emptyFile,
     zeroUncertainty, percent, zeroPercent, inconsistent, binningAverage,
     missingValues, invalidIndepVars,
-    errorOneOf, errorStale, errorAbort, errorAsymMissing)
+    errorOneOf, errorStale, errorAbort, errorAsymMissing,
+    errorMemberTypes, errorSymList, errorAsymObject, errorPlusList)
 }

@@ -28,14 +28,25 @@ final case class HepIndepVar(
   * asymerror mapping; `instanceRepr` the Python dict-repr of the WHOLE error
   * mapping, embedded verbatim in `oneOf` failure messages — only error
   * mappings that can fail the oneOf (neither or both of symerror/asymerror
-  * present) need it (ref: schemas/1.1.1/data_schema.json error items). */
+  * present) need it (ref: schemas/1.1.1/data_schema.json error items).
+  *
+  * `symRepr`/`asymRepr`/`plusRepr`/`minusRepr`: non-null when that member's
+  * YAML value is NOT of its schema type (symerror/plus/minus not
+  * number|string, asymerror not a mapping) — the Python repr of the bad
+  * value, driving the jsonschema type-error message. Boolean members are
+  * the special case: they fail the type check (draft bool≠number) but
+  * Python float(True/False) SUCCEEDS as 1.0/0.0 in check_error_values, so
+  * a bool carries repr "True"/"False" AND the same raw; any other bad type
+  * carries a null raw (float()/subscripting raises → semantic abort). */
 final case class HepErr(
     hasSym: Boolean, symRaw: String,
     hasAsym: Boolean, plusRaw: String, minusRaw: String,
     hasLabel: Boolean, labelRaw: String, labelIsString: Boolean,
     extraKeys: Seq[String],
     hasPlus: Boolean = true, hasMinus: Boolean = true,
-    asymExtraKeys: Seq[String] = Nil, instanceRepr: String = null)
+    asymExtraKeys: Seq[String] = Nil, instanceRepr: String = null,
+    symRepr: String = null, asymRepr: String = null,
+    plusRepr: String = null, minusRepr: String = null)
 
 final case class HepDepVal(
     hasValue: Boolean, valueRaw: String,

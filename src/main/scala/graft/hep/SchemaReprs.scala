@@ -19,7 +19,8 @@ final case class SchemaReprs(
     indepLow: String, indepHigh: String,
     indepValueItem: String, indepItem: String,
     depValueItem: String, depItem: String,
-    errorLabel: String, errorItem: String, errorAsym: String)
+    errorLabel: String, errorItem: String, errorAsym: String,
+    errorSym: String, errorAsymMinus: String, errorAsymPlus: String)
 
 object SchemaReprs {
 
@@ -55,6 +56,11 @@ object SchemaReprs {
         depItem = PyRepr.render(depItem),
         errorLabel = PyRepr.render(label),
         errorItem = PyRepr.render(errItem),
-        errorAsym = PyRepr.render(errItem \ "properties" \ "asymerror"))
+        errorAsym = PyRepr.render(errItem \ "properties" \ "asymerror"),
+        errorSym = PyRepr.render(errItem \ "properties" \ "symerror"),
+        errorAsymMinus = PyRepr.render(
+          errItem \ "properties" \ "asymerror" \ "properties" \ "minus"),
+        errorAsymPlus = PyRepr.render(
+          errItem \ "properties" \ "asymerror" \ "properties" \ "plus"))
     })
 }

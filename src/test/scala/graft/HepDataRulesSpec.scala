@@ -123,6 +123,33 @@ class HepDataRulesSpec extends AnyFunSuite {
       "error - Invalid error value 2.x: value must be a number (possibly ending in %) in 'dependent_variables.values[0].errors[0].asymerror.plus'"))
   }
 
+  private val symT = "{'type': ['number', 'string']}"
+
+  test("invalid_error_member_types.yaml: bool members fail the type check but convert") {
+    assert(messagesFor(HepFixtures.errorMemberTypes) === Seq(
+      s"error - True is not of type 'number', 'string' in 'dependent_variables[0].values[0].errors[0].symerror' (expected: $symT)",
+      s"error - {'label': 'sys'} is not valid under any of the given schemas in 'dependent_variables[0].values[0].errors[1]' (expected: $errItem)",
+      s"error - False is not of type 'number', 'string' in 'dependent_variables[0].values[1].errors[0].symerror' (expected: $symT)",
+      s"error - True is not of type 'number', 'string' in 'dependent_variables[0].values[2].errors[0].asymerror.minus' (expected: $symT)",
+      // float(False) = 0.0 -> the all-zero check fires for values[1]
+      "error - Uncertainties should not all be zero in 'dependent_variables.values[1].errors'"))
+  }
+
+  test("invalid_error_sym_list.yaml: list symerror -> type error + TypeError abort") {
+    assert(messagesFor(HepFixtures.errorSymList) === Seq(
+      s"error - [1, 2] is not of type 'number', 'string' in 'dependent_variables[0].values[0].errors[0].symerror' (expected: $symT)"))
+  }
+
+  test("invalid_error_asym_object.yaml: non-mapping asymerror -> type error + abort") {
+    assert(messagesFor(HepFixtures.errorAsymObject) === Seq(
+      s"error - 5 is not of type 'object' in 'dependent_variables[0].values[0].errors[0].asymerror' (expected: $errAsym)"))
+  }
+
+  test("invalid_error_plus_list.yaml: list plus -> member type error + abort") {
+    assert(messagesFor(HepFixtures.errorPlusList) === Seq(
+      s"error - [1] is not of type 'number', 'string' in 'dependent_variables[0].values[0].errors[0].asymerror.plus' (expected: $symT)"))
+  }
+
   test("version gates: <1.1.0 skips indep-var checks, major=0 skips all semantic checks") {
     import spark.implicits._
     import graft.hep.SchemaVersion
@@ -162,6 +189,10 @@ class HepDataRulesSpec extends AnyFunSuite {
       "invalid_error_oneof.yaml" -> false,
       "invalid_error_stale.yaml" -> false,
       "invalid_error_abort.yaml" -> false,
-      "invalid_error_asym_missing.yaml" -> false))
+      "invalid_error_asym_missing.yaml" -> false,
+      "invalid_error_member_types.yaml" -> false,
+      "invalid_error_sym_list.yaml" -> false,
+      "invalid_error_asym_object.yaml" -> false,
+      "invalid_error_plus_list.yaml" -> false))
   }
 }
