@@ -681,8 +681,10 @@ object SparkEntry {
           .replaceAll("\n", " ")
       }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY \"column\"")),
       // golden-constant oracle: deterministic synthetic corpus phase counts
+      // (phase 0 = the 496 id%101 structural oneOf residues)
       "hep_scaled_50k" -> ("""
-        SELECT * FROM (VALUES (CAST(1 AS INT), CAST(1681 AS BIGINT)),
+        SELECT * FROM (VALUES (CAST(0 AS INT), CAST(496 AS BIGINT)),
+                              (CAST(1 AS INT), CAST(1681 AS BIGINT)),
                               (CAST(2 AS INT), CAST(633 AS BIGINT)))
         AS t(phase, "count") ORDER BY phase""").replaceAll("\\s+", " ").trim,
       // the stub decoder is deterministic byte math over 'HDR0'+sha256hex —

@@ -18,6 +18,7 @@ class HepGenSpec extends AnyFunSuite {
       else if (m.contains("cannot be empty")) "empty"
       else if (m.contains("Invalid error value")) "numeric"
       else if (m.contains("Inconsistent length")) "length"
+      else if (m.contains("not valid under any of the given schemas")) "oneof"
       else "other"
     }.view.mapValues(_.length.toLong).toMap
     val exp = HepGen.Residues.expected(N)
@@ -26,10 +27,11 @@ class HepGenSpec extends AnyFunSuite {
     assert(byKind("empty") === exp("empty"))
     assert(byKind("numeric") === exp("numeric"))
     assert(byKind("length") === exp("length"))
+    assert(byKind("oneof") === exp("oneof"))
     // verdicts: a file fails iff it hits at least one residue
     val failing = HepDataRules.verdicts(HepGen.rows(spark, N))
       .where("NOT pass").count()
-    val expFailing = (0L until N).count(i => Seq(97L, 89L, 83L, 79L)
+    val expFailing = (0L until N).count(i => Seq(97L, 89L, 83L, 79L, 101L)
       .exists(r => i % r == 0)).toLong
     assert(failing === expFailing)
   }
