@@ -12,8 +12,11 @@ final case class SubKeyword(
     hasValues: Boolean, values: Seq[KwVal],
     extraKeys: Seq[String])
 
-/** A data_license field: `present` = key present; `isNull` = YAML null. */
-final case class LicField(present: Boolean, isNull: Boolean, value: String)
+/** A data_license field: `present` = key present; `isNull` = YAML null;
+  * `isString` = original YAML type (numbers fail the type check);
+  * `value` = Python-str rendering. */
+final case class LicField(present: Boolean, isNull: Boolean, value: String,
+    isString: Boolean = true)
 
 /** Item of related_to_table_dois / related_to_hepdata_records.
   * `num` is the float-parse result for `minimum` checks. */
@@ -29,7 +32,8 @@ final case class SubDoc(
     hasLicense: Boolean, licName: LicField, licUrl: LicField, licDesc: LicField,
     hasDois: Boolean, dois: Seq[RelItem],
     hasRecids: Boolean, recids: Seq[RelItem],
-    extraKeys: Seq[String])
+    extraKeys: Seq[String],
+    licExtraKeys: Seq[String] = Nil)
 
 final case class SubFile(file: String, docs: Seq[SubDoc])
 

@@ -27,6 +27,8 @@ object SubmissionRules {
   val NameRepr = "{'type': 'string', 'maxLength': 64}"
   val LicStrRepr = "{'type': 'string', 'maxLength': 256}"
   val StrRepr = "{'type': 'string'}"
+  val LicObjRepr: String =
+    "{'type': 'object', 'properties': {'name': {'type': 'string', 'maxLength': 256}, 'url': {'type': 'string', 'maxLength': 256}, 'description': {'type': 'string'}}, 'required': ['name', 'url'], 'additionalProperties': False}"
   val DoiItemRepr: String =
     "{'type': 'string', 'maxLength': 128, 'pattern': '^10\\\\.17182/hepdata\\\\.\\\\d+\\\\.v\\\\d+/t\\\\d+$'}"
   val DoisRepr: String =
@@ -141,16 +143,48 @@ object SubmissionRules {
             vio(d, 0, 4, lit(0), lit(0), lit(0),
               concat(doc.getField("dataFileRaw"),
                 lit(s" is not of type 'string' in 'data_file' (expected: $StrRepr)"))))), nn(_))
-        // data_license (prop 6)
-        def licErr(f: Column, idx: Int, field: String, repr: String) =
-          optVio(doc.getField("hasLicense") && f.getField("present") &&
-              f.getField("isNull"),
-            vio(d, 0, 6, lit(idx), lit(0), lit(0),
-              lit(s"None is not of type 'string' in 'data_license.$field' (expected: $repr)")))
+        // data_license (prop 6): member type/length errors in properties
+        // order, then its own required (name, url) and additionalProperties
+        // — the license subschema's keyword order (schemas/1.1.1/
+        // submission_schema.json data_license)
+        def licMember(f: Column, idx: Int, field: String, repr: String,
+            maxLen: Option[Int]) = {
+          val inLic = doc.getField("hasLicense") && f.getField("present")
+          Seq(
+            optVio(inLic && f.getField("isNull"),
+              vio(d, 0, 6, lit(idx), lit(0), lit(0),
+                lit(s"None is not of type 'string' in 'data_license.$field' (expected: $repr)"))),
+            optVio(inLic && !f.getField("isNull") && !f.getField("isString"),
+              vio(d, 0, 6, lit(idx), lit(0), lit(1),
+                concat(f.getField("value"),
+                  lit(s" is not of type 'string' in 'data_license.$field' (expected: $repr)")))),
+            optVio(lit(maxLen.isDefined) && inLic && !f.getField("isNull") &&
+                f.getField("isString") &&
+                length(f.getField("value")) > maxLen.getOrElse(Int.MaxValue),
+              vio(d, 0, 6, lit(idx), lit(1), lit(0),
+                concat(lit("'"), f.getField("value"),
+                  lit(s"' is too long in 'data_license.$field' (expected: $repr)")))))
+        }
+        val licReqExtra = Seq(
+          optVio(doc.getField("hasLicense") && !doc.getField("licName").getField("present"),
+            vio(d, 0, 6, lit(90), lit(0), lit(0),
+              lit(s"'name' is a required property in 'data_license' (expected: $LicObjRepr)"))),
+          optVio(doc.getField("hasLicense") && !doc.getField("licUrl").getField("present"),
+            vio(d, 0, 6, lit(90), lit(1), lit(0),
+              lit(s"'url' is a required property in 'data_license' (expected: $LicObjRepr)"))),
+          optVio(doc.getField("hasLicense") && size(doc.getField("licExtraKeys")) > 0,
+            vio(d, 0, 6, lit(95), lit(0), lit(0),
+              concat(lit("Additional properties are not allowed ("),
+                array_join(transform(array_sort(doc.getField("licExtraKeys")),
+                  ek => concat(lit("'"), ek, lit("'"))), ", "),
+                when(size(doc.getField("licExtraKeys")) === 1,
+                  lit(" was unexpected)")).otherwise(lit(" were unexpected)")),
+                lit(s" in 'data_license' (expected: $LicObjRepr)")))))
         val licErrs = filter(array(
-          licErr(doc.getField("licName"), 0, "name", LicStrRepr),
-          licErr(doc.getField("licUrl"), 1, "url", LicStrRepr),
-          licErr(doc.getField("licDesc"), 2, "description", StrRepr)), nn(_))
+          licMember(doc.getField("licName"), 0, "name", LicStrRepr, Some(256)) ++
+          licMember(doc.getField("licUrl"), 1, "url", LicStrRepr, Some(256)) ++
+          licMember(doc.getField("licDesc"), 2, "description", StrRepr, None) ++
+          licReqExtra: _*), nn(_))
         // related_to_table_dois (prop 9)
         val dois = doc.getField("dois")
         val doiErrs = concat(
@@ -159,28 +193,31 @@ object SubmissionRules {
               vio(d, 0, 9, lit(-1), lit(0), lit(0),
                 concat(listRepr(dois),
                   lit(s" has non-unique elements in 'related_to_table_dois' (expected: $DoisRepr)"))))), nn(_)),
-          filter(transform(dois, (x, j) => {
+          flatten(transform(dois, (x, j) => {
+            // maxLength and pattern are INDEPENDENT keywords: a long
+            // non-matching string draws both errors (keyword order type <
+            // maxLength < pattern per the schema dict)
             val typeBad = !x.getField("isString")
             val tooLong = x.getField("isString") && length(x.getField("raw")) > 128
             val patBad = x.getField("isString") &&
-              length(x.getField("raw")) <= 128 &&
               !x.getField("raw").rlike(DoiPattern)
-            when(typeBad,
-              vio(d, 0, 9, j, lit(0), lit(0),
-                concat(x.getField("raw"),
-                  lit(" is not of type 'string' in 'related_to_table_dois["),
-                  istr(j), lit(s"]' (expected: $DoiItemRepr)"))))
-              .when(tooLong,
+            filter(array(
+              optVio(typeBad,
+                vio(d, 0, 9, j, lit(0), lit(0),
+                  concat(x.getField("raw"),
+                    lit(" is not of type 'string' in 'related_to_table_dois["),
+                    istr(j), lit(s"]' (expected: $DoiItemRepr)")))),
+              optVio(tooLong,
                 vio(d, 0, 9, j, lit(1), lit(0),
                   concat(lit("'"), x.getField("raw"),
                     lit("' is too long in 'related_to_table_dois["), istr(j),
-                    lit(s"]' (expected: $DoiItemRepr)"))))
-              .when(patBad,
+                    lit(s"]' (expected: $DoiItemRepr)")))),
+              optVio(patBad,
                 vio(d, 0, 9, j, lit(2), lit(0),
                   concat(lit("'"), x.getField("raw"),
                     lit(s"' does not match $DoiPatternRepr in 'related_to_table_dois["),
-                    istr(j), lit(s"]' (expected: $DoiItemRepr)"))))
-          }), nn(_)))
+                    istr(j), lit(s"]' (expected: $DoiItemRepr)"))))), nn(_))
+          })))
         // top-level required (90) + additionalProperties (95)
         def reqErr(flag: Column, idx: Int, prop: String) =
           optVio(!flag, vio(d, 0, 90, lit(idx), lit(0), lit(0),
