@@ -160,12 +160,26 @@ object HepDataRules {
                   str(j), lit(s"]' (expected: ${reprs.indepValueItem})"))))), nn(_))
         }))
       }
-      val reqErr = filter(
-        array(vio(0, lit(0), i, lit(9000), lit(1), lit(0),
-          concat(lit("'values' is a required property in 'independent_variables["),
-            str(i), lit(s"]' (expected: $indepItemRepr)")))),
-        _ => !v.getField("hasValues"))
-      concat(valueErrs, reqErr)
+      // var-level: required (header < values, all versions) then addProps
+      val varLevel = filter(array(
+        optVio(!v.getField("hasHeader"),
+          vio(0, lit(0), i, lit(9000), lit(0), lit(0),
+            concat(lit("'header' is a required property in 'independent_variables["),
+              str(i), lit(s"]' (expected: $indepItemRepr)")))),
+        optVio(!v.getField("hasValues"),
+          vio(0, lit(0), i, lit(9000), lit(1), lit(0),
+            concat(lit("'values' is a required property in 'independent_variables["),
+              str(i), lit(s"]' (expected: $indepItemRepr)")))),
+        optVio(size(v.getField("extraKeys")) > 0,
+          vio(0, lit(0), i, lit(9001), lit(0), lit(0),
+            concat(lit("Additional properties are not allowed ("),
+              array_join(transform(array_sort(v.getField("extraKeys")),
+                ek => concat(lit("'"), ek, lit("'"))), ", "),
+              when(size(v.getField("extraKeys")) === 1, lit(" was unexpected)"))
+                .otherwise(lit(" were unexpected)")),
+              lit(" in 'independent_variables["), str(i),
+              lit(s"]' (expected: $indepItemRepr)"))))), nn(_))
+      concat(valueErrs, varLevel)
     }))
 
     val depSchemaArr = flatten(transform(col("dep"), (dv, k) => {
@@ -265,6 +279,7 @@ object HepDataRules {
                 str(i), lit(s"]' (expected: $depValueItemRepr)"))))), nn(_))
         concat(errChecks, valLevel)
       }))
+      val depItemRepr = if (pre110) reprs.depItem else DepItemRepr
       val varLevel = filter(array(
         optVio(lit(!pre110) && !dv.getField("hasHeader"),
           vio(0, lit(1), k, lit(9000), lit(0), lit(0),
@@ -273,7 +288,16 @@ object HepDataRules {
         optVio(lit(!pre110) && !dv.getField("hasValues"),
           vio(0, lit(1), k, lit(9000), lit(1), lit(0),
             concat(lit("'values' is a required property in 'dependent_variables["),
-              str(k), lit(s"]' (expected: $DepItemRepr)"))))), nn(_))
+              str(k), lit(s"]' (expected: $DepItemRepr)")))),
+        optVio(size(dv.getField("extraKeys")) > 0,
+          vio(0, lit(1), k, lit(9001), lit(0), lit(0),
+            concat(lit("Additional properties are not allowed ("),
+              array_join(transform(array_sort(dv.getField("extraKeys")),
+                ek => concat(lit("'"), ek, lit("'"))), ", "),
+              when(size(dv.getField("extraKeys")) === 1, lit(" was unexpected)"))
+                .otherwise(lit(" were unexpected)")),
+              lit(" in 'dependent_variables["), str(k),
+              lit(s"]' (expected: $depItemRepr)"))))), nn(_))
       concat(nested, varLevel)
     }))
 

@@ -8,6 +8,11 @@ package graft.hep
   *    scalar (e.g. `-.inf` → "-inf", `6000` → "6000", `0.443` → "0.443").
   *  - `*IsString`/`*IsNum` carry the original YAML type (the union
   *    string|number can't be recovered from a string carrier alone).
+  *  - `lowNum`/`highNum` carry the plain Python `float()` of the raw value
+  *    — STRINGS included ('-inf' is an infinite bin edge in the reference's
+  *    check_independent_variable_values even though it fails the schema's
+  *    number type); None when float() would raise (the reference skips the
+  *    value via `except: continue`).
   *  - `instanceRepr` is the Python dict-repr of the original value mapping,
   *    used verbatim in `oneOf` failure messages
   *    (ref: hepdata_validator/__init__.py:174-179 message formatting).
@@ -21,7 +26,8 @@ final case class HepIndepVal(
     instanceRepr: String, extraKeys: Seq[String])
 
 final case class HepIndepVar(
-    headerName: String, hasValues: Boolean, values: Seq[HepIndepVal])
+    headerName: String, hasValues: Boolean, values: Seq[HepIndepVal],
+    hasHeader: Boolean = true, extraKeys: Seq[String] = Nil)
 
 /** One error mapping. `hasPlus`/`hasMinus` model the asymerror sub-keys
   * (required by the 1.0+ schemas); `asymExtraKeys` unknown keys inside the
@@ -54,7 +60,7 @@ final case class HepDepVal(
 
 final case class HepDepVar(
     headerName: String, hasHeader: Boolean, hasValues: Boolean,
-    values: Seq[HepDepVal])
+    values: Seq[HepDepVal], extraKeys: Seq[String] = Nil)
 
 /** One row per data-table document. `emptyDoc` mirrors a YAML file that
   * parses to nothing (ref: data_file_validator.py:103-107). */

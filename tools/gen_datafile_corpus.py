@@ -1,0 +1,273 @@
+#!/usr/bin/env python3
+"""Differential conformance corpus for the DATA-file rules (HepDataRules +
+ErrorValuesKernel): seeded-random data-file documents within the HepRow row
+model's shapes, expected messages from the live reference DataFileValidator,
+rows emitted with exact Scala field names and Python-side raw-token
+rendering. Deterministic: seed 46.
+
+Output JSONL: {"file": ..., "row": <HepRow>, "messages": [...]}.
+"""
+import json
+import random
+import sys
+
+sys.path.insert(0, "/root/reference")
+from hepdata_validator.data_file_validator import DataFileValidator  # noqa: E402
+
+
+def py_str(v):
+    if v is True:
+        return "True"
+    if v is False:
+        return "False"
+    return str(v)
+
+
+def py_repr(v):
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if v is True:
+        return "True"
+    if v is False:
+        return "False"
+    if v is None:
+        return "None"
+    if isinstance(v, list):
+        return "[" + ", ".join(py_repr(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ", ".join(f"{py_repr(k)}: {py_repr(x)}"
+                               for k, x in v.items()) + "}"
+    return repr(v)
+
+
+def is_scalar(v):
+    return isinstance(v, (str, int, float)) and not isinstance(v, bool)
+
+
+def num_or_none(v):
+    # lowNum/highNum = plain Python float() of the raw value — the
+    # reference's phase-3 checks parse STRINGS too ('-inf' counts as an
+    # infinite edge; unparseable values make float() raise and the value is
+    # skipped, which None models)
+    if isinstance(v, bool):
+        return None  # bools unrepresentable as bin edges; not generated
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return None
+
+
+def indep_val(m):
+    """m: the value mapping dict."""
+    has_v = "value" in m
+    has_l, has_h = "low" in m, "high" in m
+    return {
+        "hasValue": has_v,
+        "valueRaw": py_str(m["value"]) if has_v else None,
+        "valueIsString": isinstance(m.get("value"), str),
+        "hasLow": has_l,
+        "lowRaw": py_str(m["low"]) if has_l else None,
+        "lowIsNum": has_l and is_scalar(m["low"]) and
+        not isinstance(m["low"], str),
+        "lowNum": num_or_none(m.get("low")),
+        "hasHigh": has_h,
+        "highRaw": py_str(m["high"]) if has_h else None,
+        "highIsNum": has_h and is_scalar(m["high"]) and
+        not isinstance(m["high"], str),
+        "highNum": num_or_none(m.get("high")),
+        "instanceRepr": py_repr(m),
+        "extraKeys": sorted(set(m) - {"value", "low", "high"})}
+
+
+def err_item(e):
+    """e: an error mapping dict. Only model-representable shapes allowed."""
+    sym = e.get("symerror")
+    asym = e.get("asymerror")
+    has_sym = "symerror" in e
+    has_asym = "asymerror" in e
+    sym_bad = has_sym and not is_scalar(sym)
+    asym_bad = has_asym and not isinstance(asym, dict)
+    out = {
+        "hasSym": has_sym,
+        "symRaw": (py_str(sym) if has_sym and
+                   (is_scalar(sym) or isinstance(sym, bool)) else None),
+        "hasAsym": has_asym,
+        "plusRaw": None, "minusRaw": None,
+        "hasLabel": "label" in e,
+        "labelRaw": py_str(e["label"]) if "label" in e else None,
+        "labelIsString": isinstance(e.get("label"), str),
+        "extraKeys": sorted(set(e) - {"symerror", "asymerror", "label"}),
+        "hasPlus": False, "hasMinus": False,
+        "asymExtraKeys": [],
+        "instanceRepr": py_repr(e),
+        "symRepr": py_repr(sym) if sym_bad else None,
+        "asymRepr": py_repr(asym) if asym_bad else None,
+        "plusRepr": None, "minusRepr": None}
+    if has_asym and isinstance(asym, dict):
+        out["hasPlus"] = "plus" in asym
+        out["hasMinus"] = "minus" in asym
+        out["asymExtraKeys"] = sorted(set(asym) - {"plus", "minus"})
+        p, mn = asym.get("plus"), asym.get("minus")
+        if "plus" in asym:
+            out["plusRaw"] = (py_str(p) if is_scalar(p) or
+                              isinstance(p, bool) else None)
+            out["plusRepr"] = None if is_scalar(p) else py_repr(p)
+        if "minus" in asym:
+            out["minusRaw"] = (py_str(mn) if is_scalar(mn) or
+                               isinstance(mn, bool) else None)
+            out["minusRepr"] = None if is_scalar(mn) else py_repr(mn)
+    return out
+
+
+def dep_val(m):
+    return {
+        "hasValue": "value" in m,
+        "valueRaw": py_str(m["value"]) if "value" in m else None,
+        "hasErrors": "errors" in m,
+        "errors": [err_item(e) for e in m.get("errors", [])],
+        "extraKeys": sorted(set(m) - {"value", "errors"})}
+
+
+def indep_var(v):
+    return {
+        "headerName": (v.get("header") or {}).get("name", "X"),
+        "hasValues": "values" in v,
+        "values": [indep_val(x) for x in v.get("values", [])],
+        "hasHeader": "header" in v,
+        "extraKeys": sorted(set(v) - {"header", "values"})}
+
+
+def dep_var(v):
+    return {
+        "headerName": (v.get("header") or {}).get("name", "Y"),
+        "hasHeader": "header" in v,
+        "hasValues": "values" in v,
+        "values": [dep_val(x) for x in v.get("values", [])],
+        "extraKeys": sorted(set(v) - {"header", "values"})}
+
+
+def doc_to_row(name, doc):
+    if doc is None:
+        return {"file": name, "emptyDoc": True, "hasIndep": False,
+                "indep": [], "hasDep": False, "dep": []}
+    return {
+        "file": name, "emptyDoc": False,
+        "hasIndep": "independent_variables" in doc,
+        "indep": [indep_var(v) for v in doc.get("independent_variables", [])],
+        "hasDep": "dependent_variables" in doc,
+        "dep": [dep_var(v) for v in doc.get("dependent_variables", [])]}
+
+
+# ---------------------------------------------------------------- generator
+
+def rand_indep_value(rng):
+    r = rng.random()
+    if r < 0.35:
+        return {"value": rng.choice([7000, "7000", 2.5, "a b", "800 - 1000",
+                                     "-5.3--2", "x"])}
+    if r < 0.7:
+        lo = rng.choice([0.0, 1, "-inf", float("-inf"), "2.0.0"])
+        hi = rng.choice([1.0, 2, "inf", float("inf"), "7.0.0"])
+        return {"low": lo, "high": hi}
+    if r < 0.8:
+        return {"low": rng.choice([1, "x"])}  # oneOf fail: low only
+    if r < 0.9:
+        m = {"value": rng.choice([1, "v"]), "low": 1, "high": 2}
+        return m  # oneOf fail: both forms
+    m = {"value": 1}
+    m["zz"] = 3  # extra key -> oneOf fail
+    return m
+
+
+def rand_error(rng):
+    r = rng.random()
+    if r < 0.25:
+        return {"symerror": rng.choice(
+            [0.1, "0.2", "", "5x", "1.2%", 0, "0.0%", True, [1, 2], None])}
+    if r < 0.45:
+        asym = {}
+        if rng.random() > 0.15:
+            asym["plus"] = rng.choice([0.1, "", "p!", "0", False, [2]])
+        if rng.random() > 0.15:
+            asym["minus"] = rng.choice([-0.1, "", "-0", True])
+        if rng.random() < 0.1:
+            asym["zz"] = 1
+        return {"asymerror": asym}
+    if r < 0.55:
+        return {"asymerror": rng.choice([5, "oops", [1]])}
+    if r < 0.7:
+        e = {"label": rng.choice(["sys", 123, "stat"])}
+        return e  # neither key
+    if r < 0.8:
+        return {"symerror": 0.1, "asymerror": {"plus": 1, "minus": 1}}
+    if r < 0.9:
+        return {"symerror": rng.choice([0.3, "0.4%"]),
+                "label": rng.choice(["sys", 77])}
+    return {"label": "x", "foo": 1}  # neither + extra
+
+
+def rand_dep_value(rng):
+    m = {}
+    if rng.random() > 0.1:
+        m["value"] = rng.choice([6.7, "6.7", 0])
+    if rng.random() > 0.25:
+        m["errors"] = [rand_error(rng) for _ in range(rng.randint(0, 3))]
+    if rng.random() < 0.08:
+        m["extra"] = 1
+    return m
+
+
+def rand_doc(rng):
+    # NB: no None docs — the reference's data=None kwarg falls back to
+    # opening file_path, so the parses-to-nothing case can't be driven
+    # through the data= path (the "No data found" golden covers it)
+    r = rng.random()
+    doc = {}
+    n = rng.randint(1, 3)
+    if r > 0.1:  # independent_variables present
+        ivars = []
+        for _ in range(rng.randint(1, 2)):
+            v = {}
+            if rng.random() > 0.08:
+                v["header"] = {"name": "X"}
+            if rng.random() > 0.08:
+                v["values"] = [rand_indep_value(rng) for _ in range(n)]
+            if rng.random() < 0.08:
+                v["zz"] = 1
+            ivars.append(v)
+        doc["independent_variables"] = ivars
+    if r > 0.06 or r < 0.03:  # dependent_variables present
+        dvars = []
+        for _ in range(rng.randint(1, 2)):
+            v = {}
+            if rng.random() > 0.08:
+                v["header"] = {"name": "Y"}
+            if rng.random() > 0.08:
+                nv = n if rng.random() > 0.2 else rng.randint(1, 3)
+                v["values"] = [rand_dep_value(rng) for _ in range(nv)]
+            if rng.random() < 0.08:
+                v["qq"] = 2
+            dvars.append(v)
+        doc["dependent_variables"] = dvars
+    return doc
+
+
+def main():
+    rng = random.Random(46)
+    out = []
+    n_msgs = 0
+    for c in range(300):
+        doc = rand_doc(rng)
+        name = f"data_{c:04d}.yaml"
+        v = DataFileValidator()
+        v.validate(file_path=name, data=doc)
+        msgs = [m.message for m in v.get_messages().get(name, [])]
+        n_msgs += len(msgs)
+        out.append(json.dumps({
+            "file": name, "row": doc_to_row(name, doc), "messages": msgs}))
+    sys.stdout.write("\n".join(out) + "\n")
+    print(f"300 docs, {n_msgs} messages", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
