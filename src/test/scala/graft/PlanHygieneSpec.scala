@@ -19,6 +19,27 @@ class PlanHygieneSpec extends AnyFunSuite {
     dir
   }
 
+  test("HepDataRules.violations is one scan: no exchange before the explode") {
+    import spark.implicits._
+    // parquet round-trip: a local Seq input would be constant-folded by
+    // ConvertToLocalRelation and hide the real plan
+    val dir = java.nio.file.Files.createTempDirectory("graft_hep_plan").toString
+    graft.hep.HepFixtures.all.toDS().toDF()
+      .write.mode("overwrite").parquet(dir)
+    val plan = graft.hep.HepDataRules.violations(spark.read.parquet(dir))
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val shuffles = plan.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.isEmpty,
+      s"violations must be a pure per-row projection+explode:\n$plan")
+    // the sequential check_error_values kernel must not knock the
+    // projection out of whole-stage codegen (doGenCode via reference obj)
+    val s = plan.toString
+    val kernelLine = s.linesIterator.find(_.contains("check_error_values"))
+    assert(kernelLine.exists(_.trim.stripPrefix("+- ").startsWith("*(")),
+      kernelLine.getOrElse(s"kernel not found in plan:\n$s"))
+  }
+
   test("column pruning: a url-only spec never reads html/text from parquet") {
     val spec = TableSpec("pages", "part_id", Seq("url"),
       Seq(NotNull("url"), MatchesRegex("url", "^https?://")))
