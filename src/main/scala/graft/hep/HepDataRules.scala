@@ -70,6 +70,43 @@ object HepDataRules {
   private def str(i: Column): Column = i.cast("string")
   private def nn(a: Column): Column = a.isNotNull
 
+  private def addPropsText(extras: Column): Column =
+    concat(lit("Additional properties are not allowed ("),
+      array_join(transform(array_sort(extras),
+        ek => concat(lit("'"), ek, lit("'"))), ", "),
+      when(size(extras) === 1, lit(" was unexpected)"))
+        .otherwise(lit(" were unexpected)")))
+
+  /** Header-internal checks (shared indep/dep shape): type < name-type <
+    * units-type < required-name < addProps, emitted at k3 = -10 so they
+    * sort before the values errors (the item schemas list `header` first
+    * in `properties`). `loc` = "<vars>[<i>].header". */
+  private def headerErrs(hasHeader: Column, h: Column, k1: Int, idx: Column,
+      loc: Column, hRepr: String, nameRepr: String,
+      unitsRepr: String): Column = {
+    def v5(k5: Int, msg: Column) =
+      vio(0, lit(k1), idx, lit(-10), lit(k5), lit(0), msg)
+    val inH = hasHeader && h.getField("isObj")
+    filter(array(
+      optVio(hasHeader && !h.getField("isObj"),
+        v5(0, concat(h.getField("repr"), lit(" is not of type 'object' in '"),
+          loc, lit(s"' (expected: $hRepr)")))),
+      optVio(inH && h.getField("nameRepr").isNotNull,
+        v5(1, concat(h.getField("nameRepr"),
+          lit(" is not of type 'string' in '"), loc,
+          lit(s".name' (expected: $nameRepr)")))),
+      optVio(inH && h.getField("unitsRepr").isNotNull,
+        v5(2, concat(h.getField("unitsRepr"),
+          lit(" is not of type 'string' in '"), loc,
+          lit(s".units' (expected: $unitsRepr)")))),
+      optVio(inH && !h.getField("hasName"),
+        v5(3, concat(lit("'name' is a required property in '"), loc,
+          lit(s"' (expected: $hRepr)")))),
+      optVio(inH && size(h.getField("extraKeys")) > 0,
+        v5(4, concat(addPropsText(h.getField("extraKeys")), lit(" in '"),
+          loc, lit(s"' (expected: $hRepr)"))))), nn(_))
+  }
+
   // convert_to_float semantics (%-strip, Python-float-gated parse) now live
   // in ErrorValuesKernel — check_error_values is sequential per document
   // (stale error_plus/error_minus carry across iterations).
@@ -179,7 +216,10 @@ object HepDataRules {
                 .otherwise(lit(" were unexpected)")),
               lit(" in 'independent_variables["), str(i),
               lit(s"]' (expected: $indepItemRepr)"))))), nn(_))
-      concat(valueErrs, varLevel)
+      val hdrErrs = headerErrs(v.getField("hasHeader"), v.getField("header"),
+        0, i, concat(lit("independent_variables["), str(i), lit("].header")),
+        reprs.indepHeader, reprs.indepHeaderName, reprs.indepHeaderUnits)
+      concat(hdrErrs, valueErrs, varLevel)
     }))
 
     val depSchemaArr = flatten(transform(col("dep"), (dv, k) => {
@@ -298,7 +338,49 @@ object HepDataRules {
                 .otherwise(lit(" were unexpected)")),
               lit(" in 'dependent_variables["), str(k),
               lit(s"]' (expected: $depItemRepr)"))))), nn(_))
-      concat(nested, varLevel)
+      val hdrErrs = headerErrs(dv.getField("hasHeader"), dv.getField("header"),
+        1, k, concat(lit("dependent_variables["), str(k), lit("].header")),
+        reprs.depHeader, reprs.depHeaderName, reprs.depHeaderUnits)
+      // qualifiers (k3 = -5: after header, before values — `properties`
+      // order is header < qualifiers < values). Per item: name-type <
+      // value-type < units-type < required name < required value < addProps
+      val qualLoc = (j: Column) => concat(lit("dependent_variables["),
+        str(k), lit("].qualifiers["), str(j), lit("]"))
+      val qualTypeErr = filter(array(
+        optVio(dv.getField("hasQualifiers") &&
+            dv.getField("qualifiersRepr").isNotNull,
+          vio(0, lit(1), k, lit(-5), lit(-1), lit(0),
+            concat(dv.getField("qualifiersRepr"),
+              lit(" is not of type 'array' in 'dependent_variables["),
+              str(k),
+              lit(s"].qualifiers' (expected: ${reprs.depQualifiers})"))))), nn(_))
+      val qualItemErrs = flatten(transform(dv.getField("qualifiers"), (q, j) => {
+        def qv(k5: Int, msg: Column) = vio(0, lit(1), k, lit(-5), j, lit(k5), msg)
+        filter(array(
+          optVio(q.getField("nameRepr").isNotNull,
+            qv(0, concat(q.getField("nameRepr"),
+              lit(" is not of type 'string' in '"), qualLoc(j),
+              lit(s".name' (expected: ${reprs.depQualifierName})")))),
+          optVio(q.getField("valueRepr").isNotNull,
+            qv(1, concat(q.getField("valueRepr"),
+              lit(" is not of type 'string', 'number' in '"), qualLoc(j),
+              lit(s".value' (expected: ${reprs.depQualifierValue})")))),
+          optVio(q.getField("unitsRepr").isNotNull,
+            qv(2, concat(q.getField("unitsRepr"),
+              lit(" is not of type 'string' in '"), qualLoc(j),
+              lit(s".units' (expected: ${reprs.depQualifierUnits})")))),
+          optVio(!q.getField("hasName"),
+            qv(3, concat(lit("'name' is a required property in '"),
+              qualLoc(j), lit(s"' (expected: ${reprs.depQualifierItem})")))),
+          optVio(!q.getField("hasValue"),
+            qv(4, concat(lit("'value' is a required property in '"),
+              qualLoc(j), lit(s"' (expected: ${reprs.depQualifierItem})")))),
+          optVio(size(q.getField("extraKeys")) > 0,
+            qv(5, concat(addPropsText(q.getField("extraKeys")), lit(" in '"),
+              qualLoc(j),
+              lit(s"' (expected: ${reprs.depQualifierItem})"))))), nn(_))
+      }))
+      concat(hdrErrs, qualTypeErr, qualItemErrs, nested, varLevel)
     }))
 
     // ---- phase 1 + semantic-check gating (exception-abort mirror) ----

@@ -25,9 +25,26 @@ final case class HepIndepVal(
     hasHigh: Boolean, highRaw: String, highIsNum: Boolean, highNum: Option[Double],
     instanceRepr: String, extraKeys: Seq[String])
 
+/** Header internals (shared by indep/dep vars): `isObj=false` + `repr` for
+  * a non-mapping header (type error, no recursion); `nameRepr`/`unitsRepr`
+  * non-null when that member is not a string (Python repr for the message). */
+final case class HepHeader(
+    isObj: Boolean = true, repr: String = null,
+    hasName: Boolean = true, nameRepr: String = null,
+    hasUnits: Boolean = false, unitsRepr: String = null,
+    extraKeys: Seq[String] = Nil)
+
+/** One qualifier mapping ({name, value, units}; name+value required). */
+final case class HepQualifier(
+    hasName: Boolean = true, nameRepr: String = null,
+    hasValue: Boolean = true, valueRepr: String = null,
+    hasUnits: Boolean = false, unitsRepr: String = null,
+    extraKeys: Seq[String] = Nil)
+
 final case class HepIndepVar(
     headerName: String, hasValues: Boolean, values: Seq[HepIndepVal],
-    hasHeader: Boolean = true, extraKeys: Seq[String] = Nil)
+    hasHeader: Boolean = true, extraKeys: Seq[String] = Nil,
+    header: HepHeader = HepHeader())
 
 /** One error mapping. `hasPlus`/`hasMinus` model the asymerror sub-keys
   * (required by the 1.0+ schemas); `asymExtraKeys` unknown keys inside the
@@ -60,7 +77,11 @@ final case class HepDepVal(
 
 final case class HepDepVar(
     headerName: String, hasHeader: Boolean, hasValues: Boolean,
-    values: Seq[HepDepVal], extraKeys: Seq[String] = Nil)
+    values: Seq[HepDepVal], extraKeys: Seq[String] = Nil,
+    header: HepHeader = HepHeader(),
+    hasQualifiers: Boolean = false,
+    qualifiersRepr: String = null, // non-null: qualifiers not an array
+    qualifiers: Seq[HepQualifier] = Nil)
 
 /** One row per data-table document. `emptyDoc` mirrors a YAML file that
   * parses to nothing (ref: data_file_validator.py:103-107). */

@@ -20,7 +20,12 @@ final case class SchemaReprs(
     indepValueItem: String, indepItem: String,
     depValueItem: String, depItem: String,
     errorLabel: String, errorItem: String, errorAsym: String,
-    errorSym: String, errorAsymMinus: String, errorAsymPlus: String)
+    errorSym: String, errorAsymMinus: String, errorAsymPlus: String,
+    indepHeader: String, indepHeaderName: String, indepHeaderUnits: String,
+    depHeader: String, depHeaderName: String, depHeaderUnits: String,
+    depQualifiers: String, depQualifierItem: String,
+    depQualifierName: String, depQualifierValue: String,
+    depQualifierUnits: String)
 
 object SchemaReprs {
 
@@ -61,6 +66,25 @@ object SchemaReprs {
         errorAsymMinus = PyRepr.render(
           errItem \ "properties" \ "asymerror" \ "properties" \ "minus"),
         errorAsymPlus = PyRepr.render(
-          errItem \ "properties" \ "asymerror" \ "properties" \ "plus"))
+          errItem \ "properties" \ "asymerror" \ "properties" \ "plus"),
+        indepHeader = PyRepr.render(indepItem \ "properties" \ "header"),
+        indepHeaderName = PyRepr.render(
+          indepItem \ "properties" \ "header" \ "properties" \ "name"),
+        indepHeaderUnits = PyRepr.render(
+          indepItem \ "properties" \ "header" \ "properties" \ "units"),
+        depHeader = PyRepr.render(depItem \ "properties" \ "header"),
+        depHeaderName = PyRepr.render(
+          depItem \ "properties" \ "header" \ "properties" \ "name"),
+        depHeaderUnits = PyRepr.render(
+          depItem \ "properties" \ "header" \ "properties" \ "units"),
+        depQualifiers = PyRepr.render(depItem \ "properties" \ "qualifiers"),
+        depQualifierItem = PyRepr.render(
+          depItem \ "properties" \ "qualifiers" \ "items"),
+        depQualifierName = PyRepr.render(
+          depItem \ "properties" \ "qualifiers" \ "items" \ "properties" \ "name"),
+        depQualifierValue = PyRepr.render(
+          depItem \ "properties" \ "qualifiers" \ "items" \ "properties" \ "value"),
+        depQualifierUnits = PyRepr.render(
+          depItem \ "properties" \ "qualifiers" \ "items" \ "properties" \ "units"))
     })
 }

@@ -128,22 +128,60 @@ def dep_val(m):
         "extraKeys": sorted(set(m) - {"value", "errors"})}
 
 
+def header_detail(v):
+    h = v.get("header")
+    if h is None or not isinstance(h, dict):
+        return {"isObj": h is None or isinstance(h, dict),
+                "repr": None if h is None else py_repr(h),
+                "hasName": True, "nameRepr": None,
+                "hasUnits": False, "unitsRepr": None, "extraKeys": []}
+    return {"isObj": True, "repr": None,
+            "hasName": "name" in h,
+            "nameRepr": None if isinstance(h.get("name"), str) or
+            "name" not in h else py_repr(h["name"]),
+            "hasUnits": "units" in h,
+            "unitsRepr": None if isinstance(h.get("units"), str) or
+            "units" not in h else py_repr(h["units"]),
+            "extraKeys": sorted(set(h) - {"name", "units"})}
+
+
+def qualifier_item(q):
+    def bad(key, ok_types):
+        if key not in q or isinstance(q[key], bool):
+            return py_repr(q[key]) if key in q else None
+        return None if isinstance(q[key], ok_types) else py_repr(q[key])
+    return {"hasName": "name" in q, "nameRepr": bad("name", str),
+            "hasValue": "value" in q, "valueRepr": bad("value", (str, int, float)),
+            "hasUnits": "units" in q, "unitsRepr": bad("units", str),
+            "extraKeys": sorted(set(q) - {"name", "value", "units"})}
+
+
 def indep_var(v):
     return {
-        "headerName": (v.get("header") or {}).get("name", "X"),
+        "headerName": (v.get("header") or {}).get("name", "X")
+        if isinstance(v.get("header"), dict) else "X",
         "hasValues": "values" in v,
         "values": [indep_val(x) for x in v.get("values", [])],
         "hasHeader": "header" in v,
-        "extraKeys": sorted(set(v) - {"header", "values"})}
+        "extraKeys": sorted(set(v) - {"header", "values"}),
+        "header": header_detail(v)}
 
 
 def dep_var(v):
+    quals = v.get("qualifiers")
     return {
-        "headerName": (v.get("header") or {}).get("name", "Y"),
+        "headerName": (v.get("header") or {}).get("name", "Y")
+        if isinstance(v.get("header"), dict) else "Y",
         "hasHeader": "header" in v,
         "hasValues": "values" in v,
         "values": [dep_val(x) for x in v.get("values", [])],
-        "extraKeys": sorted(set(v) - {"header", "values"})}
+        "extraKeys": sorted(set(v) - {"header", "qualifiers", "values"}),
+        "header": header_detail(v),
+        "hasQualifiers": "qualifiers" in v,
+        "qualifiersRepr": None if quals is None or isinstance(quals, list)
+        else py_repr(quals),
+        "qualifiers": [qualifier_item(q) for q in quals]
+        if isinstance(quals, list) else []}
 
 
 def doc_to_row(name, doc):
@@ -229,7 +267,7 @@ def rand_doc(rng):
         for _ in range(rng.randint(1, 2)):
             v = {}
             if rng.random() > 0.08:
-                v["header"] = {"name": "X"}
+                v["header"] = rand_header(rng, "X")
             if rng.random() > 0.08:
                 v["values"] = [rand_indep_value(rng) for _ in range(n)]
             if rng.random() < 0.08:
@@ -241,7 +279,9 @@ def rand_doc(rng):
         for _ in range(rng.randint(1, 2)):
             v = {}
             if rng.random() > 0.08:
-                v["header"] = {"name": "Y"}
+                v["header"] = rand_header(rng, "Y")
+            if rng.random() < 0.25:
+                v["qualifiers"] = rand_qualifiers(rng)
             if rng.random() > 0.08:
                 nv = n if rng.random() > 0.2 else rng.randint(1, 3)
                 v["values"] = [rand_dep_value(rng) for _ in range(nv)]
@@ -250,6 +290,42 @@ def rand_doc(rng):
             dvars.append(v)
         doc["dependent_variables"] = dvars
     return doc
+
+
+def rand_header(rng, name):
+    r = rng.random()
+    if r < 0.7:
+        return {"name": name}
+    if r < 0.78:
+        return {"units": "GEV"}  # missing required name
+    if r < 0.84:
+        return {"name": 5}  # name type error
+    if r < 0.9:
+        return {"name": name, "units": 7}  # units type error
+    if r < 0.95:
+        return {"name": name, "hdr_x": 1}  # extra key
+    return rng.choice([5, "hdr", [1]])  # not a mapping
+
+
+def rand_qualifiers(rng):
+    if rng.random() < 0.12:
+        return rng.choice([5, "qual"])  # not an array
+    out = []
+    for _ in range(rng.randint(1, 2)):
+        r = rng.random()
+        if r < 0.45:
+            out.append({"name": "SQRT(S)", "value": rng.choice([7000, "7 TeV"])})
+        elif r < 0.6:
+            out.append({"value": 1})  # missing name
+        elif r < 0.7:
+            out.append({"name": "E"})  # missing value
+        elif r < 0.8:
+            out.append({"name": 3, "value": [1]})  # both type errors
+        elif r < 0.9:
+            out.append({"name": "E", "value": 1, "units": 9})  # units type
+        else:
+            out.append({"name": "E", "value": 1, "qz": 2})  # extra key
+    return out
 
 
 def main():
