@@ -23,13 +23,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * parallel across rows, `doGenCode` via a reference object so the enclosing
   * projection stays in whole-stage codegen.
   *
-  * Output: struct(vios: array<struct(phase,k1..k5,message)>, aborted: bool).
-  * `vios` carries the same (phase=1, k,i,j,sub,sub2) sort keys the Column
-  * phase-1 formulation used; `aborted` mirrors "an exception escaped the
+  * The kernel ALSO emits the per-error-mapping SCHEMA checks (member types,
+  * asymerror required/addProps, label type, structural oneOf, error-level
+  * addProps) as it walks: ~10 interpreted Column branches per error would
+  * otherwise run in the fused projection's HigherOrderFunction lambdas —
+  * the hottest nested loop of the structural phase. Schema emission is a
+  * separate full pass (jsonschema ran before the semantic try block, so a
+  * semantic abort never truncates it); the `cfg` carries the version-gated
+  * reprs so messages stay byte-exact per published schema version.
+  *
+  * Output: struct(schemaVios: array<vio>, vios: array<vio>, aborted: bool)
+  * with vio = struct(phase,k1..k5,message); keys match the Column
+  * formulation's sort scheme. `aborted` mirrors "an exception escaped the
   * semantic-check try block" (suppresses later checks + drives the
   * unexpected-error apology).
   */
-case class ErrorValuesKernel(child: Expression) extends UnaryExpression {
+case class ErrorValuesKernel(child: Expression,
+    cfg: ErrorValuesKernel.ErrItemCfg) extends UnaryExpression {
 
   override def prettyName: String = "check_error_values"
 
@@ -59,13 +69,94 @@ case class ErrorValuesKernel(child: Expression) extends UnaryExpression {
   @transient private lazy val oAsymRepr = errSt.fieldIndex("asymRepr")
   @transient private lazy val oPlusRepr = errSt.fieldIndex("plusRepr")
   @transient private lazy val oMinusRepr = errSt.fieldIndex("minusRepr")
+  @transient private lazy val oHasLabel = errSt.fieldIndex("hasLabel")
+  @transient private lazy val oLabelRaw = errSt.fieldIndex("labelRaw")
+  @transient private lazy val oLabelIsString = errSt.fieldIndex("labelIsString")
+  @transient private lazy val oExtraKeys = errSt.fieldIndex("extraKeys")
+  @transient private lazy val oAsymExtraKeys = errSt.fieldIndex("asymExtraKeys")
+  @transient private lazy val oInstanceRepr = errSt.fieldIndex("instanceRepr")
 
   override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
 
   import ErrorValuesKernel._
 
+  private def addPropsText(extras: ArrayData): String = {
+    val ks = (0 until extras.numElements())
+      .map(extras.getUTF8String(_).toString).sorted
+    val verb = if (ks.size == 1) "was" else "were"
+    s"Additional properties are not allowed (${ks.map(k => s"'$k'").mkString(", ")} $verb unexpected)"
+  }
+
+  /** Per-error-mapping schema checks, in the error-item schema's keyword
+    * order (k5 encodes it; see HepDataRules Scaladoc). */
+  private def schemaPass(dep: ArrayData,
+      out: scala.collection.mutable.ArrayBuffer[InternalRow]): Unit = {
+    val nVars = dep.numElements()
+    var k = 0
+    while (k < nVars) {
+      val dv = dep.getStruct(k, depSt.size)
+      val vals = if (dv == null) null else dv.getArray(oValues)
+      val nVals = if (vals == null) 0 else vals.numElements()
+      var i = 0
+      while (i < nVals) {
+        val value = vals.getStruct(i, valSt.size)
+        val errs = if (value == null) null else value.getArray(oErrors)
+        val nErrs = if (errs == null) 0 else errs.numElements()
+        var j = 0
+        while (j < nErrs) {
+          val e = errs.getStruct(j, errSt.size)
+          if (e != null) {
+            val loc = s" in 'dependent_variables[$k].values[$i].errors[$j]"
+            def emit(k5: Int, msg: String): Unit =
+              out += vio(0, 1, k, i, j, k5, msg)
+            val hasSym = e.getBoolean(oHasSym)
+            val hasAsym = e.getBoolean(oHasAsym)
+            val asymIsObj = hasAsym && e.isNullAt(oAsymRepr)
+            if (hasSym && !e.isNullAt(oSymRepr))
+              emit(0, s"${e.getUTF8String(oSymRepr)} is not of type 'number', 'string'$loc.symerror' (expected: ${cfg.symMemberRepr})")
+            if (hasAsym && !e.isNullAt(oAsymRepr))
+              emit(1, s"${e.getUTF8String(oAsymRepr)} is not of type 'object'$loc.asymerror' (expected: ${cfg.errAsymRepr})")
+            if (asymIsObj && e.getBoolean(oHasMinus) && !e.isNullAt(oMinusRepr))
+              emit(2, s"${e.getUTF8String(oMinusRepr)} is not of type 'number', 'string'$loc.asymerror.minus' (expected: ${cfg.minusMemberRepr})")
+            if (asymIsObj && e.getBoolean(oHasPlus) && !e.isNullAt(oPlusRepr))
+              emit(3, s"${e.getUTF8String(oPlusRepr)} is not of type 'number', 'string'$loc.asymerror.plus' (expected: ${cfg.plusMemberRepr})")
+            if (cfg.v1 && asymIsObj && !e.getBoolean(oHasMinus))
+              emit(4, s"'minus' is a required property$loc.asymerror' (expected: ${cfg.errAsymRepr})")
+            if (cfg.v1 && asymIsObj && !e.getBoolean(oHasPlus))
+              emit(5, s"'plus' is a required property$loc.asymerror' (expected: ${cfg.errAsymRepr})")
+            if (cfg.v1 && asymIsObj) {
+              val ax = e.getArray(oAsymExtraKeys)
+              if (ax != null && ax.numElements() > 0)
+                emit(6, s"${addPropsText(ax)}$loc.asymerror' (expected: ${cfg.errAsymRepr})")
+            }
+            if (e.getBoolean(oHasLabel) && !e.getBoolean(oLabelIsString) &&
+                !e.isNullAt(oLabelRaw))
+              emit(7, s"${e.getUTF8String(oLabelRaw)} is not of type 'string'$loc.label' (expected: ${cfg.labelRepr})")
+            if (cfg.v1) {
+              val nOneOf = (if (hasSym) 1 else 0) + (if (hasAsym) 1 else 0)
+              val inst = if (e.isNullAt(oInstanceRepr)) "{}"
+                else e.getUTF8String(oInstanceRepr).toString
+              if (nOneOf == 0)
+                emit(8, s"$inst is not valid under any of the given schemas$loc' (expected: ${cfg.errItemRepr})")
+              else if (nOneOf == 2)
+                emit(8, s"$inst is valid under each of {'required': ['asymerror']}, {'required': ['symerror']}$loc' (expected: ${cfg.errItemRepr})")
+            }
+            val ex = e.getArray(oExtraKeys)
+            if (ex != null && ex.numElements() > 0)
+              emit(9, s"${addPropsText(ex)}$loc' (expected: ${cfg.errItemRepr})")
+          }
+          j += 1
+        }
+        i += 1
+      }
+      k += 1
+    }
+  }
+
   /** Public so generated code can call it through the reference object. */
   def compute(dep: ArrayData): InternalRow = {
+    val schemaOut = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    schemaPass(dep, schemaOut)
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     // carried convert_to_float results; KIND_UNBOUND until first binding
     var pKind = KindUnbound; var pNum = 0.0
@@ -194,7 +285,8 @@ case class ErrorValuesKernel(child: Expression) extends UnaryExpression {
       }
       k += 1
     }
-    InternalRow(new GenericArrayData(out.toArray[Any]), aborted)
+    InternalRow(new GenericArrayData(schemaOut.toArray[Any]),
+      new GenericArrayData(out.toArray[Any]), aborted)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -207,6 +299,14 @@ case class ErrorValuesKernel(child: Expression) extends UnaryExpression {
 }
 
 object ErrorValuesKernel {
+
+  /** Version-gated message config: `v1` = oneOf + asym required/addProps
+    * exist (1.0+ schemas); reprs derived per published schema version. */
+  final case class ErrItemCfg(
+      v1: Boolean,
+      errItemRepr: String, errAsymRepr: String, labelRepr: String,
+      symMemberRepr: String, minusMemberRepr: String, plusMemberRepr: String)
+
   private final val KindUnbound = 0
   private final val KindEmpty = 1
   private final val KindStr = 2
@@ -240,6 +340,8 @@ object ErrorValuesKernel {
     StructField("message", StringType, nullable = true)))
 
   val outType: StructType = StructType(Seq(
+    StructField("schemaVios", ArrayType(vioType, containsNull = false),
+      nullable = false),
     StructField("vios", ArrayType(vioType, containsNull = false), nullable = false),
     StructField("aborted", BooleanType, nullable = false)))
 }

@@ -224,85 +224,12 @@ object HepDataRules {
 
     val depSchemaArr = flatten(transform(col("dep"), (dv, k) => {
       val nested = flatten(transform(dv.getField("values"), (x, i) => {
-        // per-error-mapping schema checks, in the error-item schema's own
-        // keyword order (type < properties < oneOf < additionalProperties;
-        // properties order symerror < asymerror < label, and inside
-        // asymerror: member types < required < addProps) — k5 encodes it.
-        // Member TYPE failures ride on the HepErr *Repr carriers.
-        val errChecks = flatten(transform(x.getField("errors"), (e, j) => {
-          val errLoc = concat(
-            lit(" in 'dependent_variables["), str(k), lit("].values["),
-            str(i), lit("].errors["), str(j), lit("]"))
-          def addPropsMsg(extras: Column, tailAndRepr: Column): Column =
-            concat(lit("Additional properties are not allowed ("),
-              array_join(transform(array_sort(extras),
-                ek => concat(lit("'"), ek, lit("'"))), ", "),
-              when(size(extras) === 1, lit(" was unexpected)"))
-                .otherwise(lit(" were unexpected)")),
-              tailAndRepr)
-          val nOneOf = e.getField("hasSym").cast("int") +
-            e.getField("hasAsym").cast("int")
-          // an asymerror that is not a mapping fails its own `type` keyword
-          // and jsonschema never recurses into properties/required/addProps
-          val asymIsObj = e.getField("hasAsym") && e.getField("asymRepr").isNull
-          filter(array(
-            optVio(e.getField("hasSym") && e.getField("symRepr").isNotNull,
-              vio(0, lit(1), k, i, j, lit(0),
-                concat(e.getField("symRepr"),
-                  lit(" is not of type 'number', 'string'"), errLoc,
-                  lit(s".symerror' (expected: ${reprs.errorSym})")))),
-            optVio(e.getField("hasAsym") && e.getField("asymRepr").isNotNull,
-              vio(0, lit(1), k, i, j, lit(1),
-                concat(e.getField("asymRepr"),
-                  lit(" is not of type 'object'"), errLoc,
-                  lit(s".asymerror' (expected: $errAsymRepr)")))),
-            optVio(asymIsObj && e.getField("hasMinus") &&
-                e.getField("minusRepr").isNotNull,
-              vio(0, lit(1), k, i, j, lit(2),
-                concat(e.getField("minusRepr"),
-                  lit(" is not of type 'number', 'string'"), errLoc,
-                  lit(s".asymerror.minus' (expected: ${reprs.errorAsymMinus})")))),
-            optVio(asymIsObj && e.getField("hasPlus") &&
-                e.getField("plusRepr").isNotNull,
-              vio(0, lit(1), k, i, j, lit(3),
-                concat(e.getField("plusRepr"),
-                  lit(" is not of type 'number', 'string'"), errLoc,
-                  lit(s".asymerror.plus' (expected: ${reprs.errorAsymPlus})")))),
-            optVio(lit(v1) && asymIsObj && !e.getField("hasMinus"),
-              vio(0, lit(1), k, i, j, lit(4),
-                concat(lit("'minus' is a required property"), errLoc,
-                  lit(s".asymerror' (expected: $errAsymRepr)")))),
-            optVio(lit(v1) && asymIsObj && !e.getField("hasPlus"),
-              vio(0, lit(1), k, i, j, lit(5),
-                concat(lit("'plus' is a required property"), errLoc,
-                  lit(s".asymerror' (expected: $errAsymRepr)")))),
-            optVio(lit(v1) && asymIsObj &&
-                size(e.getField("asymExtraKeys")) > 0,
-              vio(0, lit(1), k, i, j, lit(6),
-                addPropsMsg(e.getField("asymExtraKeys"),
-                  concat(errLoc, lit(s".asymerror' (expected: $errAsymRepr)"))))),
-            optVio(e.getField("hasLabel") && !e.getField("labelIsString"),
-              vio(0, lit(1), k, i, j, lit(7),
-                concat(e.getField("labelRaw"),
-                  lit(" is not of type 'string'"), errLoc,
-                  lit(s".label' (expected: $labelRepr)")))),
-            optVio(lit(v1) && nOneOf === 0,
-              vio(0, lit(1), k, i, j, lit(8),
-                concat(coalesce(e.getField("instanceRepr"), lit("{}")),
-                  lit(" is not valid under any of the given schemas"), errLoc,
-                  lit(s"' (expected: $errItemRepr)")))),
-            optVio(lit(v1) && nOneOf === 2,
-              vio(0, lit(1), k, i, j, lit(8),
-                concat(coalesce(e.getField("instanceRepr"), lit("{}")),
-                  lit(" is valid under each of {'required': ['asymerror']}, {'required': ['symerror']}"),
-                  errLoc, lit(s"' (expected: $errItemRepr)")))),
-            optVio(size(e.getField("extraKeys")) > 0,
-              vio(0, lit(1), k, i, j, lit(9),
-                addPropsMsg(e.getField("extraKeys"),
-                  concat(errLoc, lit(s"' (expected: $errItemRepr)")))))), nn(_))
-        }))
+        // per-error-mapping schema checks are emitted by the NATIVE
+        // ErrorValuesKernel schema pass (see its Scaladoc; ~10 interpreted
+        // Column branches per error were the hottest lambda in the fused
+        // projection) — only the per-VALUE checks remain here
         val extras = x.getField("extraKeys")
-        val valLevel = filter(array(
+        filter(array(
           optVio(!x.getField("hasValue"),
             vio(0, lit(1), k, i, lit(9000), lit(0),
               concat(lit("'value' is a required property in 'dependent_variables["),
@@ -310,14 +237,9 @@ object HepDataRules {
                 lit(s"]' (expected: $depValueItemRepr)")))),
           optVio(size(extras) > 0,
             vio(0, lit(1), k, i, lit(9001), lit(0),
-              concat(lit("Additional properties are not allowed ("),
-                array_join(transform(array_sort(extras),
-                  ek => concat(lit("'"), ek, lit("'"))), ", "),
-                when(size(extras) === 1, lit(" was unexpected)"))
-                  .otherwise(lit(" were unexpected)")),
+              concat(addPropsText(extras),
                 lit(" in 'dependent_variables["), str(k), lit("].values["),
                 str(i), lit(s"]' (expected: $depValueItemRepr)"))))), nn(_))
-        concat(errChecks, valLevel)
       }))
       val depItemRepr = if (pre110) reprs.depItem else DepItemRepr
       val varLevel = filter(array(
@@ -392,6 +314,7 @@ object HepDataRules {
     // the semantic try block", which also suppresses phases 2-3. It is
     // referenced twice below (vios + aborted), the CollapseProject barrier
     // that keeps the kernel single-evaluated.
+    val errSchemaArr = col("_ev").getField("schemaVios")
     val errValArr = col("_ev").getField("vios")
     val semAborted = !col("emptyDoc") &&
       (!col("hasDep") || col("_ev").getField("aborted"))
@@ -474,6 +397,7 @@ object HepDataRules {
 
     val noV = slice(emptyArr, 1, 0) // typed empty array
     val all = concat(emptyArr, topReqArr, indepSchemaArr, depSchemaArr,
+      errSchemaArr, // per-error schema checks from the kernel's schema pass
       if (version.major > 0) errValArr else noV,
       if (version.major > 0) lengthArr else noV,
       if (version >= SchemaVersion.V110) indepArr else noV)
@@ -501,9 +425,17 @@ object HepDataRules {
     // CollapseProject barrier keeping the big rule array single-evaluated;
     // `_ev` (the sequential check_error_values kernel) is likewise
     // referenced twice (vios + aborted) in this projection.
+    val kernelCfg = ErrorValuesKernel.ErrItemCfg(
+      v1 = v1,
+      errItemRepr = errItemRepr, errAsymRepr = errAsymRepr,
+      labelRepr = labelRepr,
+      symMemberRepr = reprs.errorSym,
+      minusMemberRepr = reprs.errorAsymMinus,
+      plusMemberRepr = reprs.errorAsymPlus)
     df.withColumn("_ev", org.apache.spark.sql.graft.ColumnBridge.column(
         ErrorValuesKernel(
-          org.apache.spark.sql.graft.ColumnBridge.expression(col("dep")))))
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("dep")),
+          kernelCfg)))
       .select(col("file"), array_sort(all).as("_v0"),
         exceptionOccurred.as("_exc"))
       .select(col("file"),
