@@ -17,10 +17,12 @@ import org.apache.spark.sql.functions._
   *    data_file_validator.py:103-107)
   *  - phase 0: JSON-schema checks in instance order (jsonschema iter_errors;
   *    __init__.py:112-122): k1 = 0 indep / 1 dep, then var idx, value idx
-  *    (9000 = var-level required, 9001 = additionalProperties), error idx;
-  *    per-error k5 encodes the error-item schema's keyword order (1/2 asym
-  *    required minus/plus, 3 asym addProps, 4 label type, 5 oneOf, 6 error
-  *    addProps).
+  *    (9000 = var-level required, 9001 = additionalProperties; -10 header
+  *    internals, -5 qualifiers), error idx; per-error k5 encodes the
+  *    error-item schema's keyword order (0 sym type, 1 asym type, 2/3
+  *    minus/plus member type, 4/5 asym required minus/plus, 6 asym
+  *    addProps, 7 label type, 8 oneOf, 9 error addProps — emitted by
+  *    [[ErrorValuesKernel]]'s schema pass).
   *  - phase 1: check_error_values (data_file_validator.py:224-284): dep var,
   *    value, error idx, sub (0 sym/plus invalid, 1 minus invalid, 5 empty);
   *    the all-zero check emits after a value's errors (k3=9999). This phase
@@ -188,11 +190,7 @@ object HepDataRules {
               x.getField("highRaw"), "high", reprs.indepHigh),
             optVio(size(extras) > 0,
               vio(0, lit(0), i, j, lit(-1), lit(2),
-                concat(lit("Additional properties are not allowed ("),
-                  array_join(transform(array_sort(extras),
-                    ek => concat(lit("'"), ek, lit("'"))), ", "),
-                  when(size(extras) === 1, lit(" was unexpected)"))
-                    .otherwise(lit(" were unexpected)")),
+                concat(addPropsText(extras),
                   lit(" in 'independent_variables["), str(i), lit("].values["),
                   str(j), lit(s"]' (expected: ${reprs.indepValueItem})"))))), nn(_))
         }))
@@ -209,11 +207,7 @@ object HepDataRules {
               str(i), lit(s"]' (expected: $indepItemRepr)")))),
         optVio(size(v.getField("extraKeys")) > 0,
           vio(0, lit(0), i, lit(9001), lit(0), lit(0),
-            concat(lit("Additional properties are not allowed ("),
-              array_join(transform(array_sort(v.getField("extraKeys")),
-                ek => concat(lit("'"), ek, lit("'"))), ", "),
-              when(size(v.getField("extraKeys")) === 1, lit(" was unexpected)"))
-                .otherwise(lit(" were unexpected)")),
+            concat(addPropsText(v.getField("extraKeys")),
               lit(" in 'independent_variables["), str(i),
               lit(s"]' (expected: $indepItemRepr)"))))), nn(_))
       val hdrErrs = headerErrs(v.getField("hasHeader"), v.getField("header"),
@@ -253,11 +247,7 @@ object HepDataRules {
               str(k), lit(s"]' (expected: $DepItemRepr)")))),
         optVio(size(dv.getField("extraKeys")) > 0,
           vio(0, lit(1), k, lit(9001), lit(0), lit(0),
-            concat(lit("Additional properties are not allowed ("),
-              array_join(transform(array_sort(dv.getField("extraKeys")),
-                ek => concat(lit("'"), ek, lit("'"))), ", "),
-              when(size(dv.getField("extraKeys")) === 1, lit(" was unexpected)"))
-                .otherwise(lit(" were unexpected)")),
+            concat(addPropsText(dv.getField("extraKeys")),
               lit(" in 'dependent_variables["), str(k),
               lit(s"]' (expected: $depItemRepr)"))))), nn(_))
       val hdrErrs = headerErrs(dv.getField("hasHeader"), dv.getField("header"),

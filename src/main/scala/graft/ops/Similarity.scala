@@ -88,28 +88,13 @@ object Similarity {
       .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
   }
 
-  /** IVF (inverted-file) ANN top-k. Centroid seeding is a deterministic
-    * seeded uniform sample of the corpus (the vectors with the smallest
-    * xxhash64 — a one-pass TopK), refined by `lloydIters` Lloyd iterations
-    * run as DataFrame aggregations: assign each vector to its nearest cell
-    * (codegen'd sketch.IvfCells), per-cell mean via posexplode +
-    * groupBy(cell, dim) — the only driver-side state is nCells·dim doubles
-    * per iteration, shipped back inside the expression. A raw hash sample
-    * lands centroids ∝ mass, so on clustered data dense regions get many
-    * near-duplicate cells and sparse regions none, collapsing recall; a
-    * couple of Lloyd sweeps spreads them (recall test in OpsSpec).
-    * Every corpus vector takes its single nearest cell; each query probes
-    * its `nprobe` nearest cells; exact cosine + bounded-heap top-k within
-    * the probed cells. Scale shape: centroids broadcast, corpus shuffles
-    * once on cell id (or is bucketed by it at write time), each query
-    * touches ~nprobe/nCells of the corpus instead of scanning it; each
-    * Lloyd sweep is one extra scan + a nCells·dim-row aggregate. */
   /** Deterministic farthest-point (k-center greedy) seeding over a small
     * hash sample: one seed per direction-cluster regardless of cluster MASS
     * — the property a plain ∝-mass sample lacks. Driver cost is
     * O(sample·nCells·dim) flops on sample·dim doubles. */
   private[ops] def farthestPointSeeds(
       sample: Array[Array[Double]], nCells: Int): Seq[Seq[Double]] = {
+    if (sample.isEmpty) return Seq.empty
     def unit(a: Array[Double]): Array[Double] = {
       val n = math.sqrt(a.map(x => x * x).sum)
       if (n == 0) a else a.map(_ / n)
@@ -136,6 +121,21 @@ object Similarity {
     chosen.map(sample(_).toSeq).toSeq
   }
 
+  /** IVF (inverted-file) ANN top-k. Centroid seeding is farthest-point over
+    * a deterministic hash sample of the corpus, refined by `lloydIters`
+    * Lloyd iterations run as DataFrame aggregations over the cached fit
+    * sample: assign each vector to its nearest cell (codegen'd
+    * sketch.IvfCells), per-cell mean via posexplode + groupBy(cell, dim) —
+    * the only driver-side state is nCells·dim doubles per iteration,
+    * shipped back inside the expression. A raw ∝-mass sample leaves small
+    * clusters uncovered and their neighbourhoods scatter, collapsing recall
+    * (recall test in OpsSpec). Every corpus vector takes its single nearest
+    * cell; each query probes its `nprobe` nearest cells; exact cosine +
+    * bounded-heap top-k within the probed cells. Scale shape: centroids
+    * broadcast, corpus shuffles once on cell id (or is bucketed by it at
+    * write time), each query touches ~nprobe/nCells of the corpus instead
+    * of scanning it; fitting cost is bounded by `fitCap` regardless of
+    * corpus size. */
   def ivfTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
@@ -165,7 +165,7 @@ object Similarity {
       graft.sketch.IvfCells(ColumnBridge.expression(col(vec)), centroids, p))
     for (_ <- 1 to lloydIters) {
       val means = fit
-        .select(element_at(cells("v", 1), 1).as("cell"),
+        .select(get(cells("v", 1), lit(0)).as("cell"), // get(): null-safe on empty centroid sets
           posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
         .agg(avg(col("col")).as("m"))
@@ -180,7 +180,7 @@ object Similarity {
     }
     fit.unpersist(blocking = false)
     val cb = corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("cv"))
-      .withColumn("cell", element_at(cells("cv", 1), 1))
+      .withColumn("cell", get(cells("cv", 1), lit(0)))
     val qb = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
       .withColumn("cell", explode(cells("qv", nprobe)))
     val scored = cb.join(broadcast(qb), Seq("cell"))

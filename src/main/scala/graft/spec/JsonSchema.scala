@@ -43,6 +43,7 @@ object JsonSchema {
 
   final case class Compiled(
       draft: Int, // 4, 6, 7 or 2020 — selected by the ROOT $schema
+      falseSchema: Boolean, // the boolean schema `false`: nothing validates
       types: Option[Seq[String]],
       properties: Seq[(String, Compiled)],
       patternProps: Seq[(String, Compiled)],
@@ -162,7 +163,7 @@ object JsonSchema {
       val f = f0.filter { case (k, _) => inDraft(k, draft) }
       def sub1(k: String): Option[Compiled] = f.get(k) match {
         case Some(o2: JObject) => Some(compile(o2, draft))
-        case Some(JBool(true)) => Some(compile(JObject(), draft))
+        case Some(b: JBool) => Some(compile(b, draft))
         case _ => None
       }
       def subs(k: String): Seq[Compiled] = f.get(k) match {
@@ -182,6 +183,7 @@ object JsonSchema {
       }
       Compiled(
         draft = draft,
+        falseSchema = false,
         types = f.get("type").map(_ => strs("type")),
         properties = f.get("properties") match {
           case Some(JObject(ps)) => ps.map { case (k, v) => k -> compile(v, draft) }
@@ -202,8 +204,11 @@ object JsonSchema {
           case Some(o2: JObject) => Some(compile(o2, draft))
           case Some(JArray(_)) =>
             throw new IllegalArgumentException("tuple-form 'items' unsupported")
-          case Some(JBool(_)) => throw new IllegalArgumentException(
-            "boolean-form 'items' unsupported — refusing to compile")
+          case Some(JBool(true)) => Some(compile(JObject(), draft))
+          case Some(JBool(false)) => throw new IllegalArgumentException(
+            // 2020-12 gives items:false a bespoke "Expected at most 0
+            // items" wording tied to prefixItems, which we don't model
+            "boolean-form 'items: false' unsupported — refusing to compile")
           case _ => None
         },
         anyOf = subs("anyOf"), oneOf = subs("oneOf"), allOf = subs("allOf"),
@@ -243,9 +248,22 @@ object JsonSchema {
         minLength = num("minLength").map(_.toLong),
         minimum = f.get("minimum"), maximum = f.get("maximum"),
         // draft-04 spells exclusivity as booleans modifying minimum/maximum;
-        // draft-06+ as standalone numeric keywords
-        minExclusive = f.get("exclusiveMinimum").contains(JBool(true)),
-        maxExclusive = f.get("exclusiveMaximum").contains(JBool(true)),
+        // draft-06+ as standalone numeric keywords — a boolean there is a
+        // SCHEMA error (check_schema raises in the reference), so reject
+        minExclusive = f.get("exclusiveMinimum") match {
+          case Some(_: JBool) if draft != 4 =>
+            throw new IllegalArgumentException(
+              "boolean exclusiveMinimum is draft-04 only (check_schema rejects it)")
+          case Some(JBool(b)) => b
+          case _ => false
+        },
+        maxExclusive = f.get("exclusiveMaximum") match {
+          case Some(_: JBool) if draft != 4 =>
+            throw new IllegalArgumentException(
+              "boolean exclusiveMaximum is draft-04 only (check_schema rejects it)")
+          case Some(JBool(b)) => b
+          case _ => false
+        },
         exclusiveMinimum = f.get("exclusiveMinimum") match {
           case Some(_: JBool) | None => None
           case other => other
@@ -264,6 +282,12 @@ object JsonSchema {
         hasSchemaKey = f0.contains("$schema"),
         keyOrder = o.obj.map(_._1))
     case JBool(true) => compile(JObject(), draft)
+    case JBool(false) =>
+      // the boolean schema `false`: nothing validates ("False schema does
+      // not allow <instance>"). hasSchemaKey=true because the hepdata
+      // formatter only appends "(expected: ...)" for DICT subschemas.
+      compile(JObject(), draft).copy(falseSchema = true, repr = "False",
+        hasSchemaKey = true, keyOrder = Seq("$falseSchema$"))
     case other =>
       throw new IllegalArgumentException(s"unsupported schema node: $other")
   }
@@ -344,6 +368,9 @@ object JsonSchema {
   private def walk(s: Compiled, v: JValue, rpath: List[Either[Int, String]],
       out: scala.collection.mutable.Growable[Err]): Unit = {
     s.keyOrder.foreach {
+      case "$falseSchema$" if s.falseSchema =>
+        out += err(s, v, rpath, "falseSchema",
+          s"False schema does not allow ${PyRepr.render(v)}")
       case "type" => s.types.foreach { ts =>
         if (!ts.exists(typeMatches(_, v)))
           out += err(s, v, rpath, "type",
@@ -517,9 +544,16 @@ object JsonSchema {
         case _ => ()
       }
       case "uniqueItems" => v match {
-        case xs: JArray if s.uniqueItems && xs.arr.distinct.size != xs.arr.size =>
-          out += err(s, v, rpath, "uniqueItems",
-            s"${PyRepr.render(v)} has non-unique elements")
+        case xs: JArray if s.uniqueItems =>
+          // Python equality: 1 == 1.0, dicts compare order-insensitively
+          // (but True != 1 — jsonschema unbools before comparing), so
+          // JValue equality is not enough
+          val arr = xs.arr
+          val dup = arr.indices.exists(i =>
+            (i + 1 until arr.size).exists(k => jsonEq(arr(i), arr(k))))
+          if (dup)
+            out += err(s, v, rpath, "uniqueItems",
+              s"${PyRepr.render(v)} has non-unique elements")
         case _ => ()
       }
       case "pattern" => v match {
@@ -594,14 +628,15 @@ object JsonSchema {
           case _ => None
         }
         vd.foreach { dv =>
-          val failed = m match {
-            case JDouble(md) =>
+          val failed = (v, m) match {
+            case (JInt(vi), JInt(mi)) => (vi mod mi) != 0 // exact: > 2^53 ints
+            case (_, JDouble(md)) =>
               val q = dv / md
               q.isInfinite || q.isNaN || q != math.floor(q)
-            case JDecimal(md) =>
+            case (_, JDecimal(md)) =>
               val q = dv / md.toDouble
               q.isInfinite || q.isNaN || q != math.floor(q)
-            case JInt(mi) => dv % mi.toDouble != 0.0
+            case (_, JInt(mi)) => dv % mi.toDouble != 0.0
             case _ => false
           }
           if (failed)
