@@ -19,27 +19,46 @@ import org.json4s._
   * anyOf/oneOf).
   *
   * Supported keywords: type (incl. unions), properties, patternProperties,
-  * required, additionalProperties (bool, incl. the not-match-any-regex
-  * wording), items (single-schema form), anyOf, oneOf, allOf, not,
+  * required, additionalProperties (bool incl. the not-match-any-regex
+  * wording, and schema form), items, anyOf, oneOf, allOf, not,
   * if/then/else, const, enum, pattern, maxLength, minLength,
   * minimum/maximum (incl. the draft-04 boolean exclusiveMinimum/Maximum
   * modifiers), exclusiveMinimum/Maximum (numeric form), multipleOf,
   * minProperties/maxProperties, minItems, maxItems, uniqueItems, contains
   * (+ minContains/maxContains at 2020-12), propertyNames, dependencies
-  * (array and schema forms) and the 2020-12 dependentRequired/
-  * dependentSchemas split. Draft selection follows the root `$schema` like
-  * jsonschema's validator_for (absent ⇒ 2020-12); keywords OUTSIDE the
-  * selected draft's vocabulary are annotations there and are ignored, which
-  * is exactly what the reference does.
+  * (array and schema forms), the 2020-12 dependentRequired/
+  * dependentSchemas split, tuple-form `items` + `additionalItems`
+  * (draft-04/06/07), `prefixItems` + items-after-prefix incl. the
+  * `items: false` "Expected at most N items" wording (2020-12), schema-form
+  * `additionalProperties`, and `$ref` — same-document JSON-pointer refs
+  * (`#`, `#/a/~1b`) incl. RECURSIVE schemas (compiled to a cyclic graph via
+  * [[RefCell]], never inlined), plus absolute-URI refs against a caller
+  * store. Legacy drafts ignore `$ref` siblings (jsonschema
+  * ignore_ref_siblings); 2020-12 evaluates them alongside. Draft selection
+  * follows the root `$schema` like jsonschema's validator_for (absent ⇒
+  * 2020-12); keywords OUTSIDE the selected draft's vocabulary are
+  * annotations there and are ignored, which is exactly what the reference
+  * does.
   *
-  * The few remaining keywords that WOULD validate ($ref/$dynamicRef,
-  * unevaluatedProperties/Items, prefixItems, tuple/boolean items,
-  * schema-form additionalProperties) are rejected LOUDLY at compile —
-  * silently ignoring a validation keyword would under-validate, the worst
-  * failure mode for a validator. `format` is annotation-only in the
-  * reference (no FormatChecker is ever passed, __init__.py:97-122).
+  * The few remaining keywords that WOULD validate ($dynamicRef,
+  * unevaluatedProperties/Items) are rejected LOUDLY at compile — silently
+  * ignoring a validation keyword would under-validate, the worst failure
+  * mode for a validator. `format` is annotation-only in the reference (no
+  * FormatChecker is ever passed, __init__.py:97-122).
   */
 object JsonSchema {
+
+  /** Mutable resolution cell for a `$ref` — filled in after the main compile
+    * pass so RECURSIVE schemas (a ref cycle in the schema graph) compile to a
+    * cyclic object graph instead of infinite inlining. Identity equality on
+    * purpose: case-class equals/hashCode on the cyclic [[Compiled]] graph
+    * terminates because cells compare by reference. Java serialization
+    * handles the cycles natively (back-references), so a compiled recursive
+    * schema still ships inside a Catalyst expression. */
+  final class RefCell(val key: String) extends Serializable {
+    @volatile var target: Compiled = _
+    override def toString: String = s"RefCell($key)"
+  }
 
   final case class Compiled(
       draft: Int, // 4, 6, 7 or 2020 — selected by the ROOT $schema
@@ -49,7 +68,23 @@ object JsonSchema {
       patternProps: Seq[(String, Compiled)],
       required: Seq[String],
       additionalAllowed: Boolean,
+      // schema-form additionalProperties: each extra key's VALUE validates
+      // against this subschema (jsonschema _keywords.additionalProperties)
+      additionalSchema: Option[Compiled],
       items: Option[Compiled],
+      // draft-04/06/07 tuple form `items: [s0, s1, ...]` (positional)
+      tupleItems: Option[Seq[Compiled]],
+      // legacy additionalItems: schema form descends items past the tuple;
+      // boolean false yields the "Additional items are not allowed" error
+      addItemsSchema: Option[Compiled],
+      addItemsAllowed: Boolean,
+      // 2020-12: positional prefixItems; `items` then covers the rest, and
+      // `items: false` gets the bespoke "Expected at most N items" wording
+      prefixItems: Seq[Compiled],
+      itemsFalse: Boolean,
+      // $ref: resolved lazily via the cell (legacy drafts ignore siblings;
+      // 2020-12 evaluates $ref alongside them in dict order)
+      refCell: Option[RefCell],
       anyOf: Seq[Compiled],
       oneOf: Seq[Compiled],
       allOf: Seq[Compiled],
@@ -107,14 +142,11 @@ object JsonSchema {
     * annotations (e.g. `dependencies` under 2020-12, `if` under draft-06,
     * or the reference's own non-spec 'name' key), so ignoring them is
     * faithful. `format` is likewise annotation-only in the reference (no
-    * FormatChecker is ever passed, __init__.py:97-122); $ref is inlined by
-    * SchemaResolver BEFORE compile, so one surviving here is a resolution
-    * bug. */
+    * FormatChecker is ever passed, __init__.py:97-122). */
   private def unsupportedIn(draft: Int): Set[String] =
     if (draft >= 2020)
-      Set("$ref", "$dynamicRef", "prefixItems",
-        "unevaluatedProperties", "unevaluatedItems")
-    else Set("$ref")
+      Set("$dynamicRef", "unevaluatedProperties", "unevaluatedItems")
+    else Set.empty
 
   /** The validation vocabulary of each draft — keywords outside it are
     * annotations there (jsonschema ignores them; so do we). */
@@ -126,11 +158,12 @@ object JsonSchema {
     "minProperties", "maxProperties")
   private def inDraft(kw: String, draft: Int): Boolean = kw match {
     case k if BaseKeywords(k) => true
-    case "dependencies" => draft < 2020
+    case "$ref" => true
+    case "dependencies" | "additionalItems" => draft < 2020
     case "exclusiveMinimum" | "exclusiveMaximum" => true // bool@4, numeric@6+
     case "const" | "contains" | "propertyNames" => draft >= 6
     case "if" | "then" | "else" => draft >= 7
-    case "dependentRequired" | "dependentSchemas" |
+    case "dependentRequired" | "dependentSchemas" | "prefixItems" |
          "minContains" | "maxContains" => draft >= 2020
     case _ => false
   }
@@ -143,12 +176,131 @@ object JsonSchema {
       case _ => 2020 // absent, 2019-09 and 2020-12 all get the modern set
     }
 
-  def compile(j: JValue): Compiled = j match {
-    case o: JObject => compile(o, draftOf(o.obj.toMap))
-    case other => compile(other, 2020)
+  /** Resolution context for ONE top-level compile: memoizes `$ref` cells by
+    * normalized "docUri#fragment" key and resolves them AFTER the main pass
+    * (worklist), so ref CYCLES compile to a finite cyclic graph. `store`
+    * maps absolute URIs to raw schema documents (SchemaLoader/SchemaStore
+    * can feed it); same-document refs (`#`, `#/a/b`) resolve into the
+    * enclosing document. Unresolvable refs throw at compile time — loud,
+    * like jsonschema's Unresolvable at first use. */
+  private final class RefCtx(val root: JValue, val store: Map[String, JValue]) {
+    import scala.collection.mutable
+    val cells = mutable.Map.empty[String, RefCell]
+    private val pending = mutable.Queue.empty[String]
+    private val rootId: Option[String] = root match {
+      case o: JObject => o.obj.collectFirst { case ("$id", JString(u)) => u }
+      case _ => None
+    }
+
+    /** Normalized cell key for `ref` as written inside document `curDoc`
+      * ("" = the root document): relative URIs resolve against the
+      * enclosing document's URI (or the root `$id`). */
+    def keyOf(curDoc: String, ref: String): String = {
+      val (doc, frag) = ref.indexOf('#') match {
+        case -1 => (ref, "")
+        case i => (ref.substring(0, i), ref.substring(i + 1))
+      }
+      val docUri =
+        if (doc.isEmpty) curDoc
+        else {
+          val base = if (curDoc.nonEmpty) Some(curDoc) else rootId
+          val abs = base.map { b =>
+            try new java.net.URI(b).resolve(doc).toString
+            catch { case _: Exception => doc }
+          }.getOrElse(doc)
+          if (rootId.contains(abs)) "" else abs
+        }
+      s"$docUri#$frag"
+    }
+
+    def cell(curDoc: String, ref: String): RefCell = {
+      val k = keyOf(curDoc, ref)
+      cells.getOrElseUpdate(k, { pending.enqueue(k); new RefCell(k) })
+    }
+
+    /** RFC-6901 JSON pointer: split on '/', then %xx-decode and ~1/~0
+      * unescape each segment (that order — a %2F must not become a
+      * separator, and ~1 before ~0 per the RFC). */
+    private def pointer(j: JValue, frag: String): JValue = {
+      if (frag.isEmpty) return j
+      if (!frag.startsWith("/"))
+        throw new IllegalArgumentException(
+          s"unsupported $$ref fragment '#$frag' — plain-name anchors are" +
+            " not supported, use JSON pointers")
+      frag.substring(1).split("/", -1).foldLeft(j) { (cur, rawSeg) =>
+        val seg = pctDecode(rawSeg).replace("~1", "/").replace("~0", "~")
+        cur match {
+          case JObject(fields) =>
+            fields.collectFirst { case (k, v) if k == seg => v }.getOrElse(
+              throw new IllegalArgumentException(
+                s"unresolvable $$ref: no key '$seg' in '#$frag'"))
+          case JArray(xs) =>
+            val i = try seg.toInt catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"unresolvable $$ref: non-numeric array index '$seg' in '#$frag'")
+            }
+            if (i < 0 || i >= xs.size) throw new IllegalArgumentException(
+              s"unresolvable $$ref: index $i out of bounds in '#$frag'")
+            xs(i)
+          case _ => throw new IllegalArgumentException(
+            s"unresolvable $$ref: cannot descend past a scalar at '$seg' in '#$frag'")
+        }
+      }
+    }
+
+    private def pctDecode(s: String): String =
+      if (!s.contains('%')) s
+      else {
+        val out = new java.io.ByteArrayOutputStream()
+        var i = 0
+        while (i < s.length) {
+          val c = s.charAt(i)
+          if (c == '%' && i + 3 <= s.length) {
+            out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3
+          } else { out.write(c.toString.getBytes("UTF-8")); i += 1 }
+        }
+        new String(out.toByteArray, "UTF-8")
+      }
+
+    /** Resolve every pending ref; targets may enqueue more (recursion
+      * terminates because cells are memoized by key). Subschemas of the root
+      * inherit the ROOT draft (jsonschema ignores nested `$schema` on
+      * legacy drafts); store documents select their own. */
+    def resolveAll(rootDraft: Int): Unit =
+      while (pending.nonEmpty) {
+        val k = pending.dequeue()
+        val hash = k.indexOf('#')
+        val (doc, frag) = (k.substring(0, hash), k.substring(hash + 1))
+        val (docJson, draft) =
+          if (doc.isEmpty) (root, rootDraft)
+          else {
+            val dj = store.getOrElse(doc, throw new IllegalArgumentException(
+              s"unresolvable $$ref '$doc' — not in the schema store"))
+            (dj, dj match { case o: JObject => draftOf(o.obj.toMap); case _ => 2020 })
+          }
+        cells(k).target = compileNode(pointer(docJson, frag), draft, this, doc)
+      }
   }
 
-  private def compile(j: JValue, draft: Int): Compiled = j match {
+  def compile(j: JValue): Compiled = compile(j, Map.empty[String, JValue])
+
+  /** Compile with a `$ref` store: absolute-URI refs (and refs relative to a
+    * root `$id`) resolve against `store`'s raw schema documents; `#`-form
+    * refs resolve within their enclosing document, including recursively. */
+  def compile(j: JValue, store: Map[String, JValue]): Compiled = {
+    val draft = j match {
+      case o: JObject => draftOf(o.obj.toMap)
+      case _ => 2020
+    }
+    val ctx = new RefCtx(j, store)
+    val c = compileNode(j, draft, ctx, "")
+    ctx.resolveAll(draft)
+    c
+  }
+
+  private def compileNode(
+      j: JValue, draft: Int, ctx: RefCtx, curDoc: String): Compiled = j match {
     case o: JObject =>
       val f0 = o.obj.toMap
       val unsupported = f0.keySet.intersect(unsupportedIn(draft))
@@ -161,13 +313,14 @@ object JsonSchema {
       // per-draft vocabulary: keywords the draft treats as annotations are
       // dropped here, so their walk() cases never see a value
       val f = f0.filter { case (k, _) => inDraft(k, draft) }
+      def comp(x: JValue): Compiled = compileNode(x, draft, ctx, curDoc)
       def sub1(k: String): Option[Compiled] = f.get(k) match {
-        case Some(o2: JObject) => Some(compile(o2, draft))
-        case Some(b: JBool) => Some(compile(b, draft))
+        case Some(o2: JObject) => Some(comp(o2))
+        case Some(b: JBool) => Some(comp(b))
         case _ => None
       }
       def subs(k: String): Seq[Compiled] = f.get(k) match {
-        case Some(JArray(xs)) => xs.map(compile(_, draft))
+        case Some(JArray(xs)) => xs.map(comp)
         case _ => Nil
       }
       def strs(k: String): Seq[String] = f.get(k) match {
@@ -186,39 +339,65 @@ object JsonSchema {
         falseSchema = false,
         types = f.get("type").map(_ => strs("type")),
         properties = f.get("properties") match {
-          case Some(JObject(ps)) => ps.map { case (k, v) => k -> compile(v, draft) }
+          case Some(JObject(ps)) => ps.map { case (k, v) => k -> comp(v) }
           case _ => Nil
         },
         patternProps = f.get("patternProperties") match {
-          case Some(JObject(ps)) => ps.map { case (k, v) => k -> compile(v, draft) }
+          case Some(JObject(ps)) => ps.map { case (k, v) => k -> comp(v) }
           case _ => Nil
         },
         required = strs("required"),
         additionalAllowed = f.get("additionalProperties") match {
           case Some(JBool(b)) => b
-          case Some(_: JObject) => throw new IllegalArgumentException(
-            "schema-form 'additionalProperties' unsupported — refusing to compile")
           case _ => true
         },
-        items = f.get("items") match {
-          case Some(o2: JObject) => Some(compile(o2, draft))
-          case Some(JArray(_)) =>
-            throw new IllegalArgumentException("tuple-form 'items' unsupported")
-          case Some(JBool(true)) => Some(compile(JObject(), draft))
-          case Some(JBool(false)) => throw new IllegalArgumentException(
-            // 2020-12 gives items:false a bespoke "Expected at most 0
-            // items" wording tied to prefixItems, which we don't model
-            "boolean-form 'items: false' unsupported — refusing to compile")
+        additionalSchema = f.get("additionalProperties") match {
+          case Some(o2: JObject) => Some(comp(o2))
           case _ => None
         },
+        items = f.get("items") match {
+          case Some(o2: JObject) => Some(comp(o2))
+          case Some(JArray(_)) => None // tuple form — see tupleItems
+          case Some(JBool(true)) => Some(comp(JObject()))
+          case Some(JBool(false)) =>
+            // 2020-12: bespoke "Expected at most N items" wording (itemsFalse
+            // flag); legacy drafts treat it as a per-item False schema
+            if (draft >= 2020) None else Some(comp(JBool(false)))
+          case _ => None
+        },
+        tupleItems = f.get("items") match {
+          case Some(JArray(xs)) if draft < 2020 => Some(xs.map(comp))
+          case Some(JArray(_)) => throw new IllegalArgumentException(
+            "array-form 'items' is invalid at 2020-12 (use prefixItems) — check_schema rejects it")
+          case _ => None
+        },
+        addItemsSchema = f.get("additionalItems") match {
+          case Some(o2: JObject) => Some(comp(o2))
+          case _ => None
+        },
+        addItemsAllowed = f.get("additionalItems") match {
+          case Some(JBool(b)) => b
+          case _ => true
+        },
+        prefixItems = f.get("prefixItems") match {
+          case Some(JArray(xs)) => xs.map(comp)
+          case _ => Nil
+        },
+        itemsFalse = draft >= 2020 && f.get("items").contains(JBool(false)),
+        refCell = f.get("$ref") match {
+          case Some(JString(u)) => Some(ctx.cell(curDoc, u))
+          case Some(other) => throw new IllegalArgumentException(
+            s"non-string $$ref: $other — check_schema rejects it")
+          case None => None
+        },
         anyOf = subs("anyOf"), oneOf = subs("oneOf"), allOf = subs("allOf"),
-        notSchema = f.get("not").map(compile(_, draft)),
+        notSchema = f.get("not").map(comp),
         dependencies = f.get("dependencies") match {
           case Some(JObject(ds)) => ds.map {
             case (k, JArray(xs)) =>
               k -> Left(xs.collect { case JString(s) => s })
             case (k, JString(s)) => k -> Left(Seq(s)) // draft-03 relic form
-            case (k, v) => k -> Right(compile(v, draft))
+            case (k, v) => k -> Right(comp(v))
           }
           case _ => Nil
         },
@@ -232,7 +411,7 @@ object JsonSchema {
           case _ => Nil
         },
         dependentSchemas = f.get("dependentSchemas") match {
-          case Some(JObject(ds)) => ds.map { case (k, v) => k -> compile(v, draft) }
+          case Some(JObject(ds)) => ds.map { case (k, v) => k -> comp(v) }
           case _ => Nil
         },
         propNames = sub1("propertyNames"),
@@ -281,12 +460,13 @@ object JsonSchema {
         repr = PyRepr.render(j),
         hasSchemaKey = f0.contains("$schema"),
         keyOrder = o.obj.map(_._1))
-    case JBool(true) => compile(JObject(), draft)
+    case JBool(true) => compileNode(JObject(), draft, ctx, curDoc)
     case JBool(false) =>
       // the boolean schema `false`: nothing validates ("False schema does
       // not allow <instance>"). hasSchemaKey=true because the hepdata
       // formatter only appends "(expected: ...)" for DICT subschemas.
-      compile(JObject(), draft).copy(falseSchema = true, repr = "False",
+      compileNode(JObject(), draft, ctx, curDoc).copy(
+        falseSchema = true, repr = "False",
         hasSchemaKey = true, keyOrder = Seq("$falseSchema$"))
     case other =>
       throw new IllegalArgumentException(s"unsupported schema node: $other")
@@ -294,6 +474,9 @@ object JsonSchema {
 
   def compile(json: String): Compiled =
     compile(org.json4s.jackson.JsonMethods.parse(json))
+
+  def compile(json: String, store: Map[String, JValue]): Compiled =
+    compile(org.json4s.jackson.JsonMethods.parse(json), store)
 
   // ----------------------------------------------------------------- types
 
@@ -340,11 +523,21 @@ object JsonSchema {
 
   // ------------------------------------------------------------------ eval
 
+  /** Guard against no-progress `$ref` cycles (e.g. `{"$ref": "#"}` applied
+    * to any instance loops forever — the reference's Python would
+    * RecursionError there too). Counts only SAME-INSTANCE schema hops
+    * ($ref, combinators, dependent schemas) and resets whenever evaluation
+    * descends into the instance, so arbitrarily deep documents are
+    * unaffected — only schema-graph cycles that make no progress trip it. */
+  private val MaxWalkDepth = 256
+
   /** All errors of `doc` against `schema`, in jsonschema's iteration order
     * (schema-keyword order, then instance recursion depth-first). */
-  def errors(schema: Compiled, doc: JValue): List[Err] = {
+  def errors(schema: Compiled, doc: JValue): List[Err] = errorsAt(schema, doc, 0)
+
+  private def errorsAt(schema: Compiled, doc: JValue, depth: Int): List[Err] = {
     val buf = List.newBuilder[Err]
-    walk(schema, doc, Nil, buf)
+    walk(schema, doc, Nil, buf, depth)
     buf.result()
   }
 
@@ -366,8 +559,21 @@ object JsonSchema {
     * emits nested property errors BEFORE its own required errors, and one
     * written {required, properties} the other way around. */
   private def walk(s: Compiled, v: JValue, rpath: List[Either[Int, String]],
-      out: scala.collection.mutable.Growable[Err]): Unit = {
+      out: scala.collection.mutable.Growable[Err], depth: Int = 0): Unit = {
+    if (depth > MaxWalkDepth)
+      throw new IllegalStateException(
+        "jsonschema evaluation recursion limit exceeded — no-progress $ref" +
+          " cycle (the reference's Python raises RecursionError here)")
+    val d = depth + 1
+    // legacy drafts apply ONLY $ref when present, ignoring every sibling
+    // keyword (jsonschema _legacy_keywords.ignore_ref_siblings)
+    if (s.draft < 2020 && s.refCell.isDefined) {
+      walk(s.refCell.get.target, v, rpath, out, d)
+      return
+    }
     s.keyOrder.foreach {
+      case "$ref" =>
+        s.refCell.foreach(c => walk(c.target, v, rpath, out, d))
       case "$falseSchema$" if s.falseSchema =>
         out += err(s, v, rpath, "falseSchema",
           s"False schema does not allow ${PyRepr.render(v)}")
@@ -396,6 +602,19 @@ object JsonSchema {
         case _ => ()
       }
       case "additionalProperties" => v match {
+        case JObject(fields) if s.additionalSchema.isDefined =>
+          // schema form: each extra key's VALUE validates against the
+          // subschema. jsonschema iterates a python SET here (order is
+          // hash-randomized run-to-run); we iterate sorted keys — identical
+          // output whenever ≤1 extra fails, deterministic always.
+          val named = s.properties.map(_._1).toSet
+          val extras = fields.filter { case (k, _) =>
+            !named.contains(k) &&
+              !s.compiledPatternProps.exists(_._1.matcher(k).find())
+          }.sortBy(_._1)
+          extras.foreach { case (k, fv) =>
+            walk(s.additionalSchema.get, fv, Right(k) :: rpath, out, 0)
+          }
         case JObject(fields) if !s.additionalAllowed =>
           // "additional" = not named in properties AND not matched by any
           // patternProperties regex (jsonschema find_additional_properties)
@@ -422,7 +641,7 @@ object JsonSchema {
         case JObject(fields) =>
           s.properties.foreach { case (k, sub) =>
             fields.find(_._1 == k).foreach { case (_, fv) =>
-              walk(sub, fv, Right(k) :: rpath, out)
+              walk(sub, fv, Right(k) :: rpath, out, 0)
             }
           }
         case _ => ()
@@ -431,7 +650,7 @@ object JsonSchema {
         case JObject(fields) =>
           s.compiledPatternProps.foreach { case (pat, sub) =>
             fields.foreach { case (k, fv) =>
-              if (pat.matcher(k).find()) walk(sub, fv, Right(k) :: rpath, out)
+              if (pat.matcher(k).find()) walk(sub, fv, Right(k) :: rpath, out, 0)
             }
           }
         case _ => ()
@@ -439,7 +658,7 @@ object JsonSchema {
       case "propertyNames" => v match {
         case JObject(fields) => s.propNames.foreach { sub =>
           // each KEY is validated as an instance; the path stays put
-          fields.foreach { case (k, _) => walk(sub, JString(k), rpath, out) }
+          fields.foreach { case (k, _) => walk(sub, JString(k), rpath, out, 0) }
         }
         case _ => ()
       }
@@ -453,7 +672,7 @@ object JsonSchema {
                 out += err(s, v, rpath, "dependencies",
                   s"${PyRepr.str(r)} is a dependency of ${PyRepr.str(prop)}")
             }
-            case (_, Right(sub)) => walk(sub, v, rpath, out)
+            case (_, Right(sub)) => walk(sub, v, rpath, out, d)
           }
         case _ => ()
       }
@@ -473,7 +692,7 @@ object JsonSchema {
         case JObject(fields) =>
           val keys = fields.map(_._1).toSet
           s.dependentSchemas.foreach { case (prop, sub) =>
-            if (keys.contains(prop)) walk(sub, v, rpath, out)
+            if (keys.contains(prop)) walk(sub, v, rpath, out, d)
           }
         case _ => ()
       }
@@ -488,7 +707,7 @@ object JsonSchema {
             var overflowed = false
             val it = xs.iterator
             while (it.hasNext && !overflowed) {
-              if (errors(sub, it.next()).isEmpty) {
+              if (errorsAt(sub, it.next(), 0).isEmpty) {
                 matches += 1
                 if (matches > maxC) {
                   overflowed = true
@@ -506,7 +725,7 @@ object JsonSchema {
                   s"Too few items match the given schema (expected at least $minC but only $matches matched)")
             }
           } else { // draft-06/07 wording
-            if (!xs.exists(x => errors(sub, x).isEmpty))
+            if (!xs.exists(x => errorsAt(sub, x, 0).isEmpty))
               out += err(s, v, rpath, "contains",
                 s"None of ${PyRepr.render(v)} are valid under the given schema")
           }
@@ -514,15 +733,70 @@ object JsonSchema {
         case _ => ()
       }
       case "if" => s.ifSchema.foreach { cond =>
-        if (errors(cond, v).isEmpty) s.thenSchema.foreach(walk(_, v, rpath, out))
-        else s.elseSchema.foreach(walk(_, v, rpath, out))
+        if (errorsAt(cond, v, d).isEmpty) s.thenSchema.foreach(walk(_, v, rpath, out, d))
+        else s.elseSchema.foreach(walk(_, v, rpath, out, d))
       }
       case "items" => v match {
-        case JArray(xs) => s.items.foreach { sub =>
-          xs.zipWithIndex.foreach { case (x, i) =>
-            walk(sub, x, Left(i) :: rpath, out)
+        case JArray(xs) =>
+          if (s.draft >= 2020) {
+            // 2020-12: items covers positions past prefixItems; items:false
+            // gets the bespoke wording with the PARENT schema as the error's
+            // schema (so its repr drives the "(expected: ...)" suffix)
+            val prefix = s.prefixItems.size
+            val extra = xs.size - prefix
+            if (extra > 0) {
+              if (s.itemsFalse) {
+                val itemWord = if (prefix == 1) "item" else "items"
+                val rest =
+                  if (extra == 1) PyRepr.render(xs(prefix))
+                  else PyRepr.render(JArray(xs.drop(prefix)))
+                out += err(s, v, rpath, "items",
+                  s"Expected at most $prefix $itemWord but found $extra extra: $rest")
+              } else s.items.foreach { sub =>
+                (prefix until xs.size).foreach { i =>
+                  walk(sub, xs(i), Left(i) :: rpath, out, 0)
+                }
+              }
+            }
+          } else s.tupleItems match {
+            // legacy tuple form: position i validates against subschema i
+            case Some(ts) =>
+              xs.zip(ts).zipWithIndex.foreach { case ((x, sub), i) =>
+                walk(sub, x, Left(i) :: rpath, out, 0)
+              }
+            case None => s.items.foreach { sub =>
+              xs.zipWithIndex.foreach { case (x, i) =>
+                walk(sub, x, Left(i) :: rpath, out, 0)
+              }
+            }
           }
-        }
+        case _ => ()
+      }
+      case "prefixItems" => v match {
+        case JArray(xs) =>
+          xs.zip(s.prefixItems).zipWithIndex.foreach { case ((x, sub), i) =>
+            walk(sub, x, Left(i) :: rpath, out, 0)
+          }
+        case _ => ()
+      }
+      case "additionalItems" => v match {
+        // fires only with TUPLE-form items (jsonschema returns early when
+        // `items` is missing or single-schema — _legacy_keywords.py:106-112)
+        case JArray(xs) if s.tupleItems.isDefined =>
+          val n = s.tupleItems.get.size
+          s.addItemsSchema match {
+            case Some(sub) =>
+              (n until xs.size).foreach { i =>
+                walk(sub, xs(i), Left(i) :: rpath, out, 0)
+              }
+            case None if !s.addItemsAllowed && xs.size > n =>
+              val extras = xs.drop(n)
+              val verb = if (extras.size == 1) "was" else "were"
+              out += err(s, v, rpath, "additionalItems",
+                "Additional items are not allowed (" +
+                  s"${extras.map(PyRepr.render).mkString(", ")} $verb unexpected)")
+            case _ => ()
+          }
         case _ => ()
       }
       // jsonschema phrases the ==1/==0 bounds specially ("should be
@@ -661,12 +935,12 @@ object JsonSchema {
         case _ => ()
       }
       case "not" => s.notSchema.foreach { sub =>
-        if (errors(sub, v).isEmpty)
+        if (errorsAt(sub, v, d).isEmpty)
           out += err(s, v, rpath, "not",
             s"${PyRepr.render(v)} should not be valid under ${sub.repr}")
       }
       case "anyOf" if s.anyOf.nonEmpty =>
-        val ctxs = s.anyOf.map(errors(_, v))
+        val ctxs = s.anyOf.map(errorsAt(_, v, d))
         if (!ctxs.exists(_.isEmpty)) {
           // context errors keep their path RELATIVE to this instance —
           // jsonschema's ValidationError.path on context errors is the
@@ -677,7 +951,7 @@ object JsonSchema {
             s"${PyRepr.render(v)} is not valid under any of the given schemas", ctx)
         }
       case "oneOf" if s.oneOf.nonEmpty =>
-        val ctxs = s.oneOf.map(errors(_, v))
+        val ctxs = s.oneOf.map(errorsAt(_, v, d))
         val nValid = ctxs.count(_.isEmpty)
         if (nValid == 0) {
           val ctx = ctxs.flatten.toList
@@ -692,7 +966,7 @@ object JsonSchema {
           out += err(s, v, rpath, "oneOf",
             s"${PyRepr.render(v)} is valid under each of $reprs")
         }
-      case "allOf" => s.allOf.foreach(walk(_, v, rpath, out))
+      case "allOf" => s.allOf.foreach(walk(_, v, rpath, out, d))
       case _ => () // $schema, $id, id, title, description, ...
     }
   }

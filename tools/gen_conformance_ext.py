@@ -293,11 +293,217 @@ def gen_cases_44(rng):
     return cases
 
 
+def gen_cases_45(rng):
+    """Round-4 batch: an EXPLICIT-2020-12 family (the corpus was
+    draft-04/06/07-weighted; this pins the modern-draft vocabulary gating —
+    dependencies ignored, dependentRequired/Schemas + min/maxContains
+    active), plus the newly-supported keywords: prefixItems +
+    items-after-prefix + items:false wording, legacy tuple items +
+    additionalItems, schema-form additionalProperties, and $ref (same-doc
+    pointers incl. RECURSIVE schemas, per-draft sibling semantics).
+
+    Determinism note: schema-form additionalProperties cases keep at most
+    ONE failing extra — jsonschema iterates a python SET there, so
+    multi-error ORDER is hash-randomization-dependent and would not
+    regenerate byte-identically."""
+    cases = []
+    D2020 = "https://json-schema.org/draft/2020-12/schema"
+
+    def add(schema, doc):
+        cases.append((schema, doc))
+
+    arrs = [[], [1], [1, "a"], ["a", 2], [1, 2, 3], ["a", "b", "c"],
+            [1, "a", True], [2.5, [1], {}], [1, 2, "x", 3], [None, 1]]
+
+    # explicit-2020-12 vocabulary gating family
+    for _ in range(30):
+        pick = rng.random()
+        if pick < 0.25:
+            # `dependencies` is an ANNOTATION at 2020-12 — never errors
+            schema = {"$schema": D2020,
+                      "dependencies": {"a": rng.choice([["b"], {"required": ["b"]}])}}
+            if rng.random() < 0.5:
+                schema["dependentRequired"] = {"a": ["c"]}
+            add(shuffled(rng, schema), rng.choice([{"a": 1}, {"a": 1, "b": 2}, {}]))
+        elif pick < 0.5:
+            schema = {"$schema": D2020,
+                      "dependentSchemas": {"a": shuffled(rng, {
+                          "minProperties": 2, "required": ["b"]})}}
+            add(shuffled(rng, schema), rng.choice([{"a": 1}, {"a": 1, "c": 2}, {"b": 1}]))
+        elif pick < 0.75:
+            schema = {"$schema": D2020, "contains": rng.choice(
+                [{"type": "number"}, {"const": 1}])}
+            if rng.random() < 0.6:
+                schema["minContains"] = rng.randint(0, 3)
+            if rng.random() < 0.5:
+                schema["maxContains"] = rng.randint(0, 2)
+            add(shuffled(rng, schema), rng.choice(arrs))
+        else:
+            # draft-04-only spellings are annotations at 2020-12
+            schema = {"$schema": D2020, "minimum": rng.choice([0, 2, 2.5])}
+            if rng.random() < 0.5:
+                schema["exclusiveMinimum"] = rng.choice([0, 2])
+            add(shuffled(rng, schema), rng.choice([1, 2, 3, 0, -1, 2.5, "x"]))
+
+    # prefixItems / items-after-prefix / items:false (2020-12)
+    for _ in range(30):
+        n_prefix = rng.randint(0, 3)
+        prefix = [rng.choice([{"type": "number"}, {"type": "string"},
+                              {"const": 1}, {"minimum": 2}])
+                  for _ in range(n_prefix)]
+        schema = {}
+        if prefix:
+            schema["prefixItems"] = prefix
+        tail = rng.random()
+        if tail < 0.4:
+            schema["items"] = False
+            if not prefix:
+                schema["prefixItems"] = [{"type": "number"}] if rng.random() < 0.5 else []
+                if not schema["prefixItems"]:
+                    del schema["prefixItems"]
+        elif tail < 0.8:
+            schema["items"] = rng.choice([{"type": "number"}, {"type": "string"}])
+        if rng.random() < 0.3:
+            schema["$schema"] = D2020
+        if not schema:
+            schema = {"items": {"type": "number"}}
+        add(shuffled(rng, schema), rng.choice(arrs))
+
+    # legacy tuple items + additionalItems (bool + schema forms)
+    for _ in range(26):
+        d = rng.choice(["http://json-schema.org/draft-04/schema#",
+                        "http://json-schema.org/draft-06/schema#",
+                        "http://json-schema.org/draft-07/schema#"])
+        n_tuple = rng.randint(1, 3)
+        tup = [rng.choice([{"type": "number"}, {"type": "string"},
+                           {"minimum": 2}]) for _ in range(n_tuple)]
+        schema = {"$schema": d, "items": tup}
+        ai = rng.random()
+        if ai < 0.4:
+            schema["additionalItems"] = False
+        elif ai < 0.7:
+            schema["additionalItems"] = {"type": "string"}
+        add(shuffled(rng, schema), rng.choice(arrs))
+
+    # schema-form additionalProperties (≤1 failing extra — see docstring)
+    for _ in range(16):
+        sub = rng.choice([{"type": "number"}, {"maxLength": 1},
+                          shuffled(rng, {"type": "string", "minLength": 2})])
+        schema = {"additionalProperties": sub}
+        if rng.random() < 0.5:
+            schema["properties"] = {"a": {}}
+        if rng.random() < 0.3:
+            schema["patternProperties"] = {"^p": {}}
+        docs = [{"a": 1, "b": 5}, {"b": "xy"}, {"a": "s"}, {"pq": [1], "a": 1},
+                {"b": True}, {}, {"a": 1, "pq": 2}]
+        add(shuffled(rng, schema), rng.choice(docs))
+
+    # $ref: same-doc pointers, sibling semantics per draft, recursion
+    for _ in range(28):
+        defs_key = "definitions" if rng.random() < 0.5 else "$defs"
+        target = rng.choice([
+            {"type": "number", "minimum": 0},
+            {"type": "string"},
+            shuffled(rng, {"minLength": 2, "pattern": "^a"}),
+            {"enum": [1, "a"]},
+        ])
+        schema = {defs_key: {"pos": target},
+                  "properties": {"x": {"$ref": f"#/{defs_key}/pos"}}}
+        r = rng.random()
+        if r < 0.3:
+            schema["$schema"] = rng.choice(
+                ["http://json-schema.org/draft-04/schema#",
+                 "http://json-schema.org/draft-07/schema#"])
+            # legacy: siblings of $ref are ignored
+            if rng.random() < 0.5:
+                schema["properties"]["x"]["type"] = "boolean"
+        elif r < 0.45:
+            # 2020-12: siblings evaluated alongside
+            schema["properties"]["x"]["type"] = "boolean"
+        elif r < 0.6:
+            schema["required"] = ["x"]
+        add(shuffled(rng, schema),
+            rng.choice([{"x": -1}, {"x": "ab"}, {"x": "zz"}, {"x": 5},
+                        {"x": True}, {}, {"x": [1]}]))
+
+    # recursive tree schemas (the round-4 headline case family)
+    for _ in range(12):
+        defs_key = "$defs" if rng.random() < 0.5 else "definitions"
+        node = {"type": "object",
+                "properties": {"v": {"type": "number"},
+                               "kids": {"type": "array",
+                                        "items": {"$ref": f"#/{defs_key}/node"}}},
+                "required": ["v"]}
+        schema = {defs_key: {"node": node}, "$ref": f"#/{defs_key}/node"}
+        if rng.random() < 0.3:
+            schema["$schema"] = "http://json-schema.org/draft-07/schema#"
+        docs = [
+            {"v": 1, "kids": [{"v": 2}, {"v": "bad"}]},
+            {"v": 1, "kids": [{"kids": []}]},
+            {"kids": [{"v": 1}]},
+            {"v": 1, "kids": [{"v": 2, "kids": [{"v": None, "kids": 3}]}]},
+            {"v": 1},
+            "notanode",
+        ]
+        add(schema, rng.choice(docs))
+
+    # deterministic must-cover pairs for every new message form
+    cases += [
+        ({"prefixItems": [{"type": "number"}], "items": False}, [1, 2, 3]),
+        ({"prefixItems": [{"type": "number"}], "items": False}, [1, "x"]),
+        ({"items": False}, [1]),
+        ({"items": False}, [1, 2]),
+        ({"items": False}, []),
+        ({"prefixItems": [{"type": "number"}, {"const": 2}]}, ["a", 3]),
+        ({"prefixItems": [{"type": "number"}], "items": {"type": "string"}},
+         [1, 2, "x", 3]),
+        ({"$schema": "http://json-schema.org/draft-07/schema#",
+          "items": [{"type": "number"}], "additionalItems": False}, [1, 2]),
+        ({"$schema": "http://json-schema.org/draft-07/schema#",
+          "items": [{"type": "number"}], "additionalItems": False}, [1, 2, 3]),
+        ({"$schema": "http://json-schema.org/draft-04/schema#",
+          "items": [{"type": "number"}], "additionalItems": {"type": "string"}},
+         [1, 2, "x"]),
+        ({"$schema": "http://json-schema.org/draft-06/schema#",
+          "items": {"type": "number"}, "additionalItems": False}, [1, "a"]),
+        ({"properties": {"a": {}}, "additionalProperties": {"type": "number"}},
+         {"a": 1, "b": "x", "c": 2}),
+        ({"definitions": {"pos": {"type": "number", "minimum": 0}},
+          "properties": {"x": {"$ref": "#/definitions/pos"}}}, {"x": -1}),
+        ({"$schema": "http://json-schema.org/draft-07/schema#",
+          "definitions": {"pos": {"minimum": 0}},
+          "properties": {"x": {"$ref": "#/definitions/pos", "type": "string"}}},
+         {"x": -1}),
+        ({"$defs": {"pos": {"minimum": 0}},
+          "properties": {"x": {"$ref": "#/$defs/pos", "type": "string"}}},
+         {"x": -1}),
+        ({"$defs": {"node": {"type": "object",
+                             "properties": {"v": {"type": "number"},
+                                            "kids": {"type": "array",
+                                                     "items": {"$ref": "#/$defs/node"}}},
+                             "required": ["v"]}},
+          "$ref": "#/$defs/node"},
+         {"v": 1, "kids": [{"v": "bad", "kids": [{"kids": []}]}]}),
+        ({"type": "object", "properties": {"next": {"$ref": "#"}}},
+         {"next": {"next": 3}}),
+        ({"$defs": {"a/b": {"type": "number"}, "c~d": {"type": "string"}},
+          "properties": {"p": {"$ref": "#/$defs/a~1b"},
+                         "q": {"$ref": "#/$defs/c~0d"}}},
+         {"p": "s", "q": 1}),
+        ({"$schema": "https://json-schema.org/draft/2020-12/schema",
+          "dependencies": {"a": ["b"]}, "dependentRequired": {"a": ["c"]}},
+         {"a": 1}),
+    ]
+    return cases
+
+
 def main():
     rng = random.Random(43)
     cases = gen_cases(rng)
     if "--batch44" in sys.argv:
         cases = gen_cases_44(random.Random(44))
+    if "--batch45" in sys.argv:
+        cases = gen_cases_45(random.Random(45))
     lines = []
     n_msgs = 0
     for schema, doc in cases:
