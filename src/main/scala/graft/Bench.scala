@@ -70,12 +70,28 @@ object Bench {
     val loN = math.max(cpus / 4, 1)
 
     // ---- phase 1: per-query timings over the driver tables --------------
+    // best-of-N per query + a noise figure: the r3 round-over-round compare
+    // was unreadable off single-shot numbers (the driver's own 3 pipeline
+    // runs spread 7.0-13.8 s on this microVM) — reporting each query's best
+    // of N back-to-back runs plus the median relative spread lets the next
+    // verdict tell a regression from a cold cache
     var spark = session(cpus)
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = try timed(noop(fn(spark, sfDir)))
-      catch { case _: Throwable => -1.0 }
-      name -> t
+    val qreps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
+    val queryRuns: Seq[(String, Seq[Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        name -> (1 to qreps).map { _ =>
+          try timed(noop(fn(spark, sfDir)))
+          catch { case _: Throwable => -1.0 }
+        }
+      }
+    val queryTimes = queryRuns.map { case (n, ts) =>
+      n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
+    val spreads = queryRuns
+      .collect { case (_, ts) if ts.forall(_ >= 0) && ts.min > 0 =>
+        (ts.max - ts.min) / ts.min }
+      .sorted
+    val noiseMedian = if (spreads.isEmpty) 0.0 else spreads(spreads.size / 2)
     val totalQuerySec = queryTimes.filter(_._2 >= 0).map(_._2).sum
 
     // ---- phase 2: docs/sec + N→4N scaling -------------------------------
@@ -129,6 +145,8 @@ object Bench {
       s"""{"metric":"validated docs/sec (full page pipeline, local[$cpus])",""" +
         s""""value":${"%.0f".format(dpsHi)},"unit":"docs/sec",""" +
         s""""queries":$qs,"sf":"$sfDir",""" +
+        s""""query_reps":$qreps,""" +
+        s""""query_noise_median_rel_spread":${"%.3f".format(noiseMedian)},""" +
         s""""total_query_sec":${"%.2f".format(totalQuerySec)},""" +
         s""""scaling":$scaling}""")
   }

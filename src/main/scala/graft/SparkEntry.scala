@@ -56,10 +56,12 @@ object SparkEntry {
         .withColumn("rule_seq", col("rule_seq").cast("int"))
         .orderBy("doc_id", "rule_seq")
     }),
-    // ---- §2.4 A7 per-partition verdicts ----------------------------------
+    // ---- §2.4 A7 per-partition verdicts (ONE scan: universe + counts from
+    // the same aggregate — see Passes.verdictsSingleScan) ------------------
     "a7_verdict_by_source" -> ((s, dir) => {
       val docs = s.read.parquet(t(dir, "documents"))
-      Passes.verdicts(ConstraintCompiler.violations(docsSpec, docs), "source", docs)
+      Passes.verdictsSingleScan(docs, "source",
+          ConstraintCompiler.errorCount(docsSpec))
         .orderBy("source")
     }),
     // ---- §2.4 A9 column stats (exact-distinct variant for the oracle) ---

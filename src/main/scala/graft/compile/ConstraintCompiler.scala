@@ -101,4 +101,13 @@ object ConstraintCompiler {
   def rowPasses(spec: TableSpec): Column =
     spec.rules.map(r => coalesce(predicate(r), lit(false)))
       .reduceOption(_ && _).getOrElse(lit(true))
+
+  /** Per-row count of FAILED error-level rules, without materializing
+    * messages or exploding — the single-scan verdict input: aggregating
+    * this by partition yields the universe AND the totals in ONE scan of
+    * the fact table (see Passes.verdictsSingleScan). */
+  def errorCount(spec: TableSpec): Column =
+    spec.rules.filter(_.level == "error")
+      .map(r => (!coalesce(predicate(r), lit(false))).cast("long"))
+      .reduceOption(_ + _).getOrElse(lit(0L))
 }

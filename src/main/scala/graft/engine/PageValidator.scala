@@ -101,9 +101,15 @@ object PageValidator {
       .unionByName(refViolations)
       .unionByName(textViolations)
 
-    val verdicts = Passes.verdicts(
-      allViolations.where(col("part_id") >= 0), "part_id",
-      pages.select(col("part_id")))
+    // ONE scan of pages for universe + row-rule counts; the join-shaped
+    // side passes (referential, text invariant; duplicates carry the
+    // synthetic part_id = -1 and are file-level, not partition-level)
+    // contribute partition-count-sized aggregates on top
+    val sideCounts = Seq(refViolations, textViolations).map(v =>
+      v.where(col("part_id") >= 0).groupBy(col("part_id"))
+        .agg(count(lit(1)).as("n_violations")))
+    val verdicts = Passes.verdictsSingleScan(
+      pages, "part_id", ConstraintCompiler.errorCount(spec), sideCounts)
 
     val stats = Passes.columnStats(pages,
       Seq("url", "warc_ts", "text", "lang", "part_id"))

@@ -100,9 +100,38 @@ object Passes {
       .where(col("_actual") =!= col("_expected"))
   }
 
-  /** Per-partition verdicts: every partition in `universe` gets a row;
-    * pass ⇔ zero violations attributed to it (ref: per-file verdict,
-    * hepdata_validator/__init__.py:124-132). */
+  /** Per-partition verdicts in ONE scan of the fact table: `errorCount` (a
+    * per-row expression, e.g. ConstraintCompiler.errorCount) aggregates by
+    * partition, so every partition value reaches the aggregate and the
+    * universe comes for free — no separate distinct-universe scan (the r3
+    * shape scanned the fact table twice per verdict query). `extraCounts`
+    * are per-partition (partitionCol, n_violations) frames from side passes
+    * (joins, duplicate aggregates) — partition-count-sized, left-joined on
+    * top. */
+  def verdictsSingleScan(
+      fact: DataFrame, partitionCol: String, errorCount: Column,
+      extraCounts: Seq[DataFrame] = Nil): DataFrame = {
+    val base = fact
+      .select(col(partitionCol), errorCount.as("_nv0"))
+      .groupBy(col(partitionCol))
+      .agg(sum(col("_nv0")).as("_nv0"))
+    val joined = extraCounts.zipWithIndex.foldLeft(base) { case (acc, (e, i)) =>
+      acc.join(
+        e.select(col(partitionCol), col("n_violations").as(s"_nv${i + 1}")),
+        Seq(partitionCol), "left")
+    }
+    val total = (0 to extraCounts.size)
+      .map(i => coalesce(col(s"_nv$i"), lit(0L))).reduce(_ + _)
+    joined.select(col(partitionCol), total.as("n_violations"),
+      (total === 0L).as("pass"))
+  }
+
+  /** Per-partition verdicts from an already-materialized violations frame:
+    * every partition in `universe` gets a row; pass ⇔ zero violations
+    * attributed to it (ref: per-file verdict,
+    * hepdata_validator/__init__.py:124-132). Costs a universe scan on top
+    * of the violations — use [[verdictsSingleScan]] when the violations
+    * come from row rules over one fact table. */
   def verdicts(
       violations: DataFrame, partitionCol: String,
       universe: DataFrame): DataFrame = {

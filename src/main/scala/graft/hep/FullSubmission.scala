@@ -273,7 +273,16 @@ object FullSubmission {
     * the sort keys (per-file row_number), never from physical row ids:
     * monotonically_increasing_id after a sort is only monotone while the
     * planner keeps range partitioning, and its values jump by 2^33 across
-    * partitions — a repartition-invariance test pins this. */
+    * partitions — a repartition-invariance test pins this.
+    *
+    * Single-task bound: the window sorts each FILE's messages inside one
+    * task — intentional, because the reference buffers the same per-file
+    * list in RAM and the 10 MiB file cap (SizeLimit) bounds how many
+    * messages one file can emit. Worst case ≈ one message per YAML line ≈
+    * 10 MiB of ~60-byte lines ≈ 175k messages ≈ tens of MB of window
+    * buffer — comfortably one task (FullSubmissionSpec pins a
+    * many-thousand-message file through this path). Revisit only if the
+    * size cap is ever lifted. */
   private def ordered(messages: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("file"))

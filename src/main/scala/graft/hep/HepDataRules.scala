@@ -119,9 +119,11 @@ object HepDataRules {
   def violations(df: DataFrame): DataFrame =
     violations(df, SchemaVersion.Default)
 
-  /** Version-gated variant (ref: data_file_validator.py:136-142 — semantic
-    * checks only for major > 0; independent-variable checks only ≥ 1.1.0). */
-  def violations(df: DataFrame, version: SchemaVersion): DataFrame = {
+  /** Version-gated packed stage shared by [[violations]] and [[verdicts]]:
+    * one row per input doc, `_v` = its sorted violation array (ref:
+    * data_file_validator.py:136-142 — semantic checks only for major > 0;
+    * independent-variable checks only ≥ 1.1.0). */
+  private def packedViolations(df: DataFrame, version: SchemaVersion): DataFrame = {
     // structural deltas across the published schema versions (see
     // SchemaReprs): <1.1.0 uses the FLAT independent-value form (value:
     // string|number, low/high: number, additionalProperties false — no
@@ -431,23 +433,27 @@ object HepDataRules {
       .select(col("file"),
         when(col("_exc") && size(col("_v0")) === 0,
           array(unexpectedV)).otherwise(col("_v0")).as("_v"))
+  }
+
+  def violations(df: DataFrame, version: SchemaVersion): DataFrame =
+    packedViolations(df, version)
       .where(size(col("_v")) > 0)
       .select(col("file"), posexplode(col("_v")))
       .select(col("file"), col("pos").as("seq"),
         col("col.phase").as("phase"), col("col.message").as("message"),
         lit("error").as("level"))
-  }
 
-  /** Per-file verdict: valid ⇔ no violations (ref: __init__.py:124-132). */
+  /** Per-file verdict: valid ⇔ no violations (ref: __init__.py:124-132).
+    * ONE scan: every doc row carries its violation COUNT out of the packed
+    * projection, so the file universe and the per-file totals come from the
+    * same aggregate — no second scan for the passing files (which the r3
+    * shape paid via violations + a distinct-universe join). */
   def verdicts(df: DataFrame): DataFrame = verdicts(df, SchemaVersion.Default)
 
-  def verdicts(df: DataFrame, version: SchemaVersion): DataFrame = {
-    val v = violations(df, version).groupBy(col("file"))
-      .agg(count(lit(1)).as("n_violations"))
-    df.select(col("file")).distinct()
-      .join(v, Seq("file"), "left")
-      .select(col("file"),
-        coalesce(col("n_violations"), lit(0L)).as("n_violations"),
-        (coalesce(col("n_violations"), lit(0L)) === 0L).as("pass"))
-  }
+  def verdicts(df: DataFrame, version: SchemaVersion): DataFrame =
+    packedViolations(df, version)
+      .groupBy(col("file"))
+      .agg(sum(size(col("_v")).cast("long")).as("n_violations"))
+      .select(col("file"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
 }

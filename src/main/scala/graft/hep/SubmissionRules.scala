@@ -76,10 +76,11 @@ object SubmissionRules {
   def violations(df: DataFrame): DataFrame =
     violations(df, SchemaVersion.Default)
 
-  /** Version-gated variant (ref: submission_file_validator.py — cmenergies
-    * only for major > 0 (:92); has-submission-doc and duplicate checks only
-    * ≥ 1.1.0 (:100,:112)). */
-  def violations(df: DataFrame, version: SchemaVersion): DataFrame = {
+  /** Version-gated packed stage shared by [[violations]] and [[verdicts]]:
+    * one row per input stream, `_v` = its sorted violation array (ref:
+    * submission_file_validator.py — cmenergies only for major > 0 (:92);
+    * has-submission-doc and duplicate checks only ≥ 1.1.0 (:100,:112)). */
+  private def packedViolations(df: DataFrame, version: SchemaVersion): DataFrame = {
     val docs = col("docs")
     val isTableDoc = (doc: Column, d: Column) =>
       !doc.getField("isEmpty") && (d > 0 || doc.getField("hasDataFile"))
@@ -328,20 +329,22 @@ object SubmissionRules {
       if (version >= SchemaVersion.V110) hasSubArr else noV,
       if (version >= SchemaVersion.V110) dupArr else noV)
     df.select(col("file"), array_sort(all).as("_v"))
+  }
+
+  def violations(df: DataFrame, version: SchemaVersion): DataFrame =
+    packedViolations(df, version)
       .where(size(col("_v")) > 0)
       .select(col("file"), posexplode(col("_v")))
       .select(col("file"), col("pos").as("seq"),
         col("col.message").as("message"), lit("error").as("level"))
-  }
 
-  /** Per-file verdict: valid ⇔ no messages (ref: :115-116). */
-  def verdicts(df: DataFrame): DataFrame = {
-    val v = violations(df).groupBy(col("file"))
-      .agg(count(lit(1)).as("n_violations"))
-    df.select(col("file")).distinct()
-      .join(v, Seq("file"), "left")
-      .select(col("file"),
-        coalesce(col("n_violations"), lit(0L)).as("n_violations"),
-        (coalesce(col("n_violations"), lit(0L)) === 0L).as("pass"))
-  }
+  /** Per-file verdict: valid ⇔ no messages (ref: :115-116). ONE scan — the
+    * file universe and the per-file totals come from the same aggregate
+    * over the packed stage (the r3 shape scanned the input twice). */
+  def verdicts(df: DataFrame): DataFrame =
+    packedViolations(df, SchemaVersion.Default)
+      .groupBy(col("file"))
+      .agg(sum(size(col("_v")).cast("long")).as("n_violations"))
+      .select(col("file"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
 }

@@ -136,6 +136,32 @@ object Similarity {
     * write time), each query touches ~nprobe/nCells of the corpus instead
     * of scanning it; fitting cost is bounded by `fitCap` regardless of
     * corpus size. */
+  /** Deterministic, partition-count-independent fit sample of ~fitCap rows
+    * via a hash-THRESHOLD filter — scan + filter only, NO global sort and no
+    * single-reducer fan-in (the previous `orderBy(h).limit(fitCap)` was a
+    * TakeOrdered that shuffled up to nPartitions·fitCap rows into ONE task —
+    * terabytes at 10^5 input partitions). The hash is xxhash64 of the row
+    * ID: cheap (no to_json serialization of the vector on the full scan)
+    * and stable under repartitioning. Threshold sizing comes from one cheap
+    * `count()` (column-pruned; satisfied from footer metadata on
+    * parquet/Iceberg): keep rows with h below ≈1.25·fitCap/n of the hash
+    * range, so the sample lands in [fitCap, 1.25·fitCap] w.h.p. — bounded
+    * fitting cost either way. Below the cap the sample IS the corpus. */
+  private[graft] def fitSample(corpus: DataFrame, corpusId: String,
+      corpusVec: String, fitCap: Int): DataFrame = {
+    val proj = corpus.select(col(corpusVec).cast("array<double>").as("v"),
+      xxhash64(col(corpusId)).as("h"))
+    val n = corpus.select(col(corpusId)).count()
+    val frac = if (n == 0) 1.0 else 1.25 * fitCap / n
+    if (frac >= 1.0) proj
+    else {
+      // unsigned threshold on the signed hash: MinValue + frac·2^64
+      val cut = (BigInt(Long.MinValue) +
+        (BigDecimal(2).pow(64) * BigDecimal(frac)).toBigInt).toLong
+      proj.where(col("h") < lit(cut))
+    }
+  }
+
   def ivfTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
@@ -146,17 +172,20 @@ object Similarity {
     // Fit centroids on a CAPPED deterministic hash-sample, cached for the
     // seed collect + every Lloyd sweep: at 10^12 rows sweeping the full
     // corpus per iteration would cost lloydIters extra full scans for no
-    // statistical gain — fitCap rows bound the fitting cost regardless of
+    // statistical gain — ~fitCap rows bound the fitting cost regardless of
     // corpus size, and the one full-corpus scan left is the final cell
     // assignment. (Below the cap the sample IS the corpus, so small-scale
     // results are unchanged.)
-    val fit = corpus
-      .select(col(corpusVec).cast("array<double>").as("v"))
-      .withColumn("h", xxhash64(to_json(col("v"))))
-      .orderBy("h").limit(fitCap)
-      .persist()
+    val fit = fitSample(corpus, corpusId, corpusVec, fitCap).persist()
     val sampleN = if (spreadSeeds) math.max(nCells, 512) else nCells
-    val sample: Array[Array[Double]] = fit.orderBy("h").limit(sampleN)
+    // Seed-sample ordering hashes the VECTOR (id-independent, so seeding is
+    // stable across id renumbering) — computed only on the ≤~1.25·fitCap
+    // cached fit rows, never on the full scan. TakeOrdered with a 512-row
+    // limit over that capped set is per-partition top-512 + a tiny driver
+    // merge — not the nPartitions×fitCap fan-in the threshold filter removed.
+    val sample: Array[Array[Double]] = fit
+      .orderBy(xxhash64(to_json(col("v"))))
+      .limit(sampleN).select(col("v"))
       .collect().map(_.getSeq[Double](0).toArray)
     var centroids: Seq[Seq[Double]] =
       if (spreadSeeds) farthestPointSeeds(sample, nCells)

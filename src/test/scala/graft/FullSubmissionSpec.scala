@@ -266,6 +266,35 @@ class FullSubmissionSpec extends AnyFunSuite {
     assert(scrambled === base)
   }
 
+  test("ordered window: a 10MiB-cap-worst-case message file stays one healthy task") {
+    // the per-file window sort serializes each file's messages through one
+    // task — bounded by the reference's 10 MiB size cap at roughly one
+    // message per line ≈ 175k messages (FullSubmission.ordered doc). Push a
+    // file at that worst case through the pipeline: it must complete with
+    // consecutive seq 0..n-1 in sort-key order (i.e. the window buffer held
+    // in one task without spill-failure), alongside normally-sized files.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (docs, files, _) = fixture()
+    val n = 175000
+    val big = spark.range(n).select(
+      lit("data9.yaml").as("file"), col("id").cast("int").as("seq"),
+      concat(lit("Uncertainties should not all be zero in "),
+        lpad(col("id").cast("string"), 7, "0")).as("message"))
+    val out = FullSubmission.validateAll(spark,
+      Seq(SubFixtures.validRelated).toDS().toDF(),
+      "submission.yaml", docs, files, big.repartition(8))
+    val got = out.where(col("file") === "data9.yaml")
+      .select("seq", "message").collect()
+    // header + n propagated messages, seq consecutive, messages sorted
+    assert(got.length === n + 1)
+    val bySeq = got.sortBy(_.getLong(0))
+    assert(bySeq.map(_.getLong(0)).toSeq === (0L until (n + 1).toLong))
+    assert(bySeq.head.getString(1) === "data9.yaml is invalid HEPData YAML.")
+    val msgs = bySeq.tail.map(_.getString(1))
+    assert(msgs === msgs.sorted, "messages must be in sort-key order")
+  }
+
   test("short-circuit: invalid submission.yaml returns only its messages (:180-188)") {
     import spark.implicits._
     val (docs, files, dv) = fixture()

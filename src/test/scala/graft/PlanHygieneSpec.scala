@@ -40,6 +40,32 @@ class PlanHygieneSpec extends AnyFunSuite {
       kernelLine.getOrElse(s"kernel not found in plan:\n$s"))
   }
 
+  test("verdicts cost ONE scan of the fact table (universe from the same aggregate)") {
+    // r3 verdicts scanned twice: once for violations, once for the
+    // distinct-file universe — at 10^12 docs the second full scan is real
+    // money (round-3 verdict item 4)
+    import spark.implicits._
+    // count scans on the plan STRING: AQE wraps the tree and collect() on
+    // AdaptiveSparkPlanExec does not traverse the input plan
+    def nScans(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString.sliding("FileScan".length)
+        .count(_ == "FileScan")
+    val dir = java.nio.file.Files.createTempDirectory("graft_verd_plan").toString
+    graft.hep.HepFixtures.all.toDS().toDF()
+      .write.mode("overwrite").parquet(dir)
+    val hepVerdicts = graft.hep.HepDataRules.verdicts(spark.read.parquet(dir))
+    assert(nScans(hepVerdicts) === 1,
+      s"hep verdicts must scan once:\n${hepVerdicts.queryExecution.executedPlan}")
+
+    val docsSpec = TableSpec("pages", "part_id", Seq("url"),
+      Seq(NotNull("url"), MatchesRegex("url", "^https?://"), NotNull("text")))
+    val a7 = graft.engine.Passes.verdictsSingleScan(
+      spark.read.parquet(pagesPath), "part_id",
+      ConstraintCompiler.errorCount(docsSpec))
+    assert(nScans(a7) === 1,
+      s"single-scan verdicts must scan once:\n${a7.queryExecution.executedPlan}")
+  }
+
   test("column pruning: a url-only spec never reads html/text from parquet") {
     val spec = TableSpec("pages", "part_id", Seq("url"),
       Seq(NotNull("url"), MatchesRegex("url", "^https?://")))
