@@ -34,17 +34,21 @@ import org.json4s._
   * (`#`, `#/a/~1b`) incl. RECURSIVE schemas (compiled to a cyclic graph via
   * [[RefCell]], never inlined), plus absolute-URI refs against a caller
   * store. Legacy drafts ignore `$ref` siblings (jsonschema
-  * ignore_ref_siblings); 2020-12 evaluates them alongside. Draft selection
+  * ignore_ref_siblings); 2020-12 evaluates them alongside. 2020-12
+  * `unevaluatedProperties`/`unevaluatedItems` are implemented with
+  * jsonschema's annotation-style evaluated-key/index discovery (valid
+  * combinator branches, if/then/else, dependentSchemas, $ref targets —
+  * _utils.find_evaluated_*_by_schema). Draft selection
   * follows the root `$schema` like jsonschema's validator_for (absent ⇒
   * 2020-12); keywords OUTSIDE the selected draft's vocabulary are
   * annotations there and are ignored, which is exactly what the reference
   * does.
   *
-  * The few remaining keywords that WOULD validate ($dynamicRef,
-  * unevaluatedProperties/Items) are rejected LOUDLY at compile — silently
-  * ignoring a validation keyword would under-validate, the worst failure
-  * mode for a validator. `format` is annotation-only in the reference (no
-  * FormatChecker is ever passed, __init__.py:97-122).
+  * The one remaining keyword that WOULD validate ($dynamicRef) is rejected
+  * LOUDLY at compile — silently ignoring a validation keyword would
+  * under-validate, the worst failure mode for a validator. `format` is
+  * annotation-only in the reference (no FormatChecker is ever passed,
+  * __init__.py:97-122).
   */
 object JsonSchema {
 
@@ -82,6 +86,13 @@ object JsonSchema {
       // `items: false` gets the bespoke "Expected at most N items" wording
       prefixItems: Seq[Compiled],
       itemsFalse: Boolean,
+      // 2020-12 unevaluated*: keys/indexes not covered by any evaluated
+      // applicator (incl. valid combinator branches and $ref targets —
+      // jsonschema _utils.find_evaluated_*_by_schema) must satisfy these
+      additionalPresent: Boolean, // additionalProperties key present at all
+      unevalProps: Option[Compiled],
+      unevalPropsIsFalse: Boolean, // literal `false` picks the other wording
+      unevalItems: Option[Compiled],
       // $ref: resolved lazily via the cell (legacy drafts ignore siblings;
       // 2020-12 evaluates $ref alongside them in dict order)
       refCell: Option[RefCell],
@@ -144,9 +155,7 @@ object JsonSchema {
     * faithful. `format` is likewise annotation-only in the reference (no
     * FormatChecker is ever passed, __init__.py:97-122). */
   private def unsupportedIn(draft: Int): Set[String] =
-    if (draft >= 2020)
-      Set("$dynamicRef", "unevaluatedProperties", "unevaluatedItems")
-    else Set.empty
+    if (draft >= 2020) Set("$dynamicRef") else Set.empty
 
   /** The validation vocabulary of each draft — keywords outside it are
     * annotations there (jsonschema ignores them; so do we). */
@@ -164,6 +173,7 @@ object JsonSchema {
     case "const" | "contains" | "propertyNames" => draft >= 6
     case "if" | "then" | "else" => draft >= 7
     case "dependentRequired" | "dependentSchemas" | "prefixItems" |
+         "unevaluatedProperties" | "unevaluatedItems" |
          "minContains" | "maxContains" => draft >= 2020
     case _ => false
   }
@@ -183,14 +193,15 @@ object JsonSchema {
     * can feed it); same-document refs (`#`, `#/a/b`) resolve into the
     * enclosing document. Unresolvable refs throw at compile time — loud,
     * like jsonschema's Unresolvable at first use. */
-  private final class RefCtx(val root: JValue, val store: Map[String, JValue]) {
+  private final class RefCtx(val root: JValue, val store: Map[String, JValue],
+      base: Option[String] = None) {
     import scala.collection.mutable
     val cells = mutable.Map.empty[String, RefCell]
     private val pending = mutable.Queue.empty[String]
-    private val rootId: Option[String] = root match {
+    private val rootId: Option[String] = base.orElse(root match {
       case o: JObject => o.obj.collectFirst { case ("$id", JString(u)) => u }
       case _ => None
-    }
+    })
 
     /** Normalized cell key for `ref` as written inside document `curDoc`
       * ("" = the root document): relative URIs resolve against the
@@ -288,12 +299,20 @@ object JsonSchema {
   /** Compile with a `$ref` store: absolute-URI refs (and refs relative to a
     * root `$id`) resolve against `store`'s raw schema documents; `#`-form
     * refs resolve within their enclosing document, including recursively. */
-  def compile(j: JValue, store: Map[String, JValue]): Compiled = {
+  def compile(j: JValue, store: Map[String, JValue]): Compiled =
+    compile(j, store, None)
+
+  /** As above with an EXPLICIT base URI for the root document (used when
+    * the root was fetched from a URL but carries no `$id` — relative refs
+    * then resolve against the fetch URL, like jsonschema's retrieval
+    * scope). */
+  def compile(j: JValue, store: Map[String, JValue],
+      baseUri: Option[String]): Compiled = {
     val draft = j match {
       case o: JObject => draftOf(o.obj.toMap)
       case _ => 2020
     }
-    val ctx = new RefCtx(j, store)
+    val ctx = new RefCtx(j, store, baseUri)
     val c = compileNode(j, draft, ctx, "")
     ctx.resolveAll(draft)
     c
@@ -384,6 +403,10 @@ object JsonSchema {
           case _ => Nil
         },
         itemsFalse = draft >= 2020 && f.get("items").contains(JBool(false)),
+        additionalPresent = f.contains("additionalProperties"),
+        unevalProps = f.get("unevaluatedProperties").map(comp),
+        unevalPropsIsFalse = f.get("unevaluatedProperties").contains(JBool(false)),
+        unevalItems = f.get("unevaluatedItems").map(comp),
         refCell = f.get("$ref") match {
           case Some(JString(u)) => Some(ctx.cell(curDoc, u))
           case Some(other) => throw new IllegalArgumentException(
@@ -934,6 +957,50 @@ object JsonSchema {
         }
         case _ => ()
       }
+      case "unevaluatedProperties" => v match {
+        case o: JObject => s.unevalProps.foreach { sub =>
+          val eval = evaluatedKeys(s, o, d)
+          // a non-evaluated key whose value FAILS the subschema is flagged
+          // (for `false` every value fails, so every leftover key is)
+          val bad = o.obj.collect {
+            case (k, fv) if !eval.contains(k) && errorsAt(sub, fv, d).nonEmpty => k
+          }
+          if (bad.nonEmpty) {
+            if (s.unevalPropsIsFalse) {
+              val extras = bad.sorted
+              val verb = if (extras.size == 1) "was" else "were"
+              out += err(s, v, rpath, "unevaluatedProperties",
+                "Unevaluated properties are not allowed (" +
+                  s"${extras.map(PyRepr.str).mkString(", ")} $verb unexpected)")
+            } else {
+              val verb = if (bad.size == 1) "was" else "were"
+              out += err(s, v, rpath, "unevaluatedProperties",
+                "Unevaluated properties are not valid under the given schema (" +
+                  s"${bad.map(PyRepr.str).mkString(", ")} $verb unevaluated and invalid)")
+            }
+          }
+        }
+        case _ => ()
+      }
+      case "unevaluatedItems" => v match {
+        case JArray(xs) => s.unevalItems.foreach { _ =>
+          // the keyword itself already marked items VALID under it as
+          // evaluated (find_evaluated_item_indexes_by_schema includes
+          // 'unevaluatedItems' in its contains-style loop), so leftovers
+          // here are the failing ones — flagged regardless of schema form
+          val eval = evaluatedIdx(s, xs, d)
+          val extras = xs.zipWithIndex.collect {
+            case (x, i) if !eval.contains(i) => x
+          }
+          if (extras.nonEmpty) {
+            val verb = if (extras.size == 1) "was" else "were"
+            out += err(s, v, rpath, "unevaluatedItems",
+              "Unevaluated items are not allowed (" +
+                s"${extras.map(PyRepr.render).mkString(", ")} $verb unexpected)")
+          }
+        }
+        case _ => ()
+      }
       case "not" => s.notSchema.foreach { sub =>
         if (errorsAt(sub, v, d).isEmpty)
           out += err(s, v, rpath, "not",
@@ -969,6 +1036,93 @@ object JsonSchema {
       case "allOf" => s.allOf.foreach(walk(_, v, rpath, out, d))
       case _ => () // $schema, $id, id, title, description, ...
     }
+  }
+
+  /** Keys of `v` "evaluated" by `s` for unevaluatedProperties — a faithful
+    * mirror of jsonschema _utils.find_evaluated_property_keys_by_schema:
+    * properties∩instance (regardless of value validity), keys whose VALUES
+    * validate under additionalProperties/unevaluatedProperties, pattern
+    * matches, dependentSchemas recursion, VALID allOf/anyOf/oneOf branches,
+    * if(+then)/else recursion, and $ref targets. The instance never
+    * descends — depth rides the same-instance guard. */
+  private def evaluatedKeys(s: Compiled, v: JObject, depth: Int): Set[String] = {
+    if (depth > MaxWalkDepth)
+      throw new IllegalStateException(
+        "jsonschema evaluation recursion limit exceeded — no-progress $ref" +
+          " cycle (the reference's Python raises RecursionError here)")
+    if (s.falseSchema) return Set.empty
+    val d = depth + 1
+    val out = Set.newBuilder[String]
+    s.refCell.foreach(c => out ++= evaluatedKeys(c.target, v, d))
+    val keys = v.obj.map(_._1)
+    if (s.properties.nonEmpty) {
+      val named = s.properties.map(_._1).toSet
+      out ++= keys.filter(named.contains)
+    }
+    // additionalProperties / unevaluatedProperties: EVERY key whose value is
+    // valid under the subschema counts as evaluated (not just "additional"
+    // ones — jsonschema checks all instance items here)
+    def validUnder(sub: Compiled, fv: JValue): Boolean =
+      errorsAt(sub, fv, d).isEmpty
+    if (s.additionalPresent) {
+      s.additionalSchema match {
+        case Some(sub) => out ++= v.obj.collect {
+          case (k, fv) if validUnder(sub, fv) => k }
+        case None => if (s.additionalAllowed) out ++= keys // bool true/false
+      }
+    }
+    s.unevalProps.foreach { sub =>
+      out ++= v.obj.collect { case (k, fv) if validUnder(sub, fv) => k }
+    }
+    if (s.patternProps.nonEmpty)
+      out ++= keys.filter(k =>
+        s.compiledPatternProps.exists(_._1.matcher(k).find()))
+    s.dependentSchemas.foreach { case (prop, sub) =>
+      if (keys.contains(prop)) out ++= evaluatedKeys(sub, v, d)
+    }
+    (s.allOf ++ s.oneOf ++ s.anyOf).foreach { sub =>
+      if (errorsAt(sub, v, d).isEmpty) out ++= evaluatedKeys(sub, v, d)
+    }
+    s.ifSchema.foreach { cond =>
+      if (errorsAt(cond, v, d).isEmpty) {
+        out ++= evaluatedKeys(cond, v, d)
+        s.thenSchema.foreach(t => out ++= evaluatedKeys(t, v, d))
+      } else s.elseSchema.foreach(e => out ++= evaluatedKeys(e, v, d))
+    }
+    out.result()
+  }
+
+  /** Indexes of `xs` "evaluated" by `s` for unevaluatedItems — mirror of
+    * jsonschema _utils.find_evaluated_item_indexes_by_schema: an `items`
+    * keyword in ANY form evaluates the whole array (early return),
+    * prefixItems evaluates its positions, contains/unevaluatedItems
+    * evaluate items VALID under them, plus $ref, if/then/else and valid
+    * combinator branches. */
+  private def evaluatedIdx(s: Compiled, xs: List[JValue], depth: Int): Set[Int] = {
+    if (depth > MaxWalkDepth)
+      throw new IllegalStateException(
+        "jsonschema evaluation recursion limit exceeded — no-progress $ref" +
+          " cycle (the reference's Python raises RecursionError here)")
+    if (s.falseSchema) return Set.empty
+    if (s.items.isDefined || s.itemsFalse) return xs.indices.toSet
+    val d = depth + 1
+    val out = Set.newBuilder[Int]
+    s.refCell.foreach(c => out ++= evaluatedIdx(c.target, xs, d))
+    out ++= s.prefixItems.indices
+    s.ifSchema.foreach { cond =>
+      if (errorsAt(cond, JArray(xs), d).isEmpty) {
+        out ++= evaluatedIdx(cond, xs, d)
+        s.thenSchema.foreach(t => out ++= evaluatedIdx(t, xs, d))
+      } else s.elseSchema.foreach(e => out ++= evaluatedIdx(e, xs, d))
+    }
+    Seq(s.containsSchema, s.unevalItems).flatten.foreach { sub =>
+      out ++= xs.zipWithIndex.collect {
+        case (x, i) if errorsAt(sub, x, d).isEmpty => i }
+    }
+    (s.allOf ++ s.oneOf ++ s.anyOf).foreach { sub =>
+      if (errorsAt(sub, JArray(xs), d).isEmpty) out ++= evaluatedIdx(sub, xs, d)
+    }
+    out.result()
   }
 
   // ------------------------------------------------------------- formatting

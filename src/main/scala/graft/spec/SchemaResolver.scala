@@ -172,7 +172,15 @@ class SchemaLoader(fetch: String => Option[String]) {
   /** Fetch + $ref-inline + compile + cache a schema by its full URL
     * (ref: full_submission_validator.py:395-421). Throws
     * [[SchemaNotFoundException]] if unresolvable,
-    * IllegalArgumentException on a malformed base URL. */
+    * IllegalArgumentException on a malformed base URL.
+    *
+    * RECURSIVE schemas cannot be inlined (the reference's own
+    * schema_resolver.py would RecursionError the same way this resolver's
+    * depth guard throws) — but jsonschema's VALIDATION path resolves $ref
+    * natively and never inlines, so when the inline pass hits the depth
+    * guard we fall back to crawling every transitively-referenced document
+    * into a store and compiling with native RefCells ([[JsonSchema]]'s
+    * cyclic-graph $ref support). */
   def loadRemoteSchema(schemaUrl: String): JsonSchema.Compiled =
     cache.getOrElseUpdate(schemaUrl, {
       val uri = java.net.URI.create(schemaUrl)
@@ -181,8 +189,52 @@ class SchemaLoader(fetch: String => Option[String]) {
       val (schemaPath, schemaName) = (path.substring(0, slash), path.substring(slash + 1))
       val baseUrl = s"${uri.getScheme}://${uri.getAuthority}$schemaPath"
       val store = new SchemaStore(baseUrl, fetch)
-      JsonSchema.compile(store.getSchemaSpec(schemaName))
+      try JsonSchema.compile(store.getSchemaSpec(schemaName))
+      catch {
+        case e: SchemaNotFoundException if e.uri.contains("nesting too deep") =>
+          compileWithNativeRefs(schemaUrl)
+      }
     })
+
+  private def fetchJson(u: String): JValue = fetch(u) match {
+    case Some(body) =>
+      try JsonMethods.parse(body)
+      catch { case _: Exception => throw new SchemaNotFoundException(u) }
+    case None => throw new SchemaNotFoundException(u)
+  }
+
+  private def compileWithNativeRefs(schemaUrl: String): JsonSchema.Compiled = {
+    def refs(j: JValue): List[String] = j match {
+      case JObject(fs) => fs.flatMap {
+        case ("$ref", JString(u)) => List(u)
+        case (_, v) => refs(v)
+      }
+      case JArray(xs) => xs.flatMap(refs)
+      case _ => Nil
+    }
+    def docOf(ref: String, base: String): Option[String] = {
+      val doc = ref.split("#", 2)(0)
+      if (doc.isEmpty) None // same-document pointer
+      else Some(
+        try java.net.URI.create(base).resolve(doc).toString
+        catch { case _: Exception => doc })
+    }
+    val root = fetchJson(schemaUrl)
+    val store = scala.collection.mutable.Map.empty[String, JValue]
+    val seen = scala.collection.mutable.Set(schemaUrl)
+    var frontier = refs(root).flatMap(docOf(_, schemaUrl)).distinct
+    while (frontier.nonEmpty) {
+      val u = frontier.head
+      frontier = frontier.tail
+      if (!seen(u)) {
+        seen += u
+        val doc = fetchJson(u)
+        store(u) = doc
+        frontier ++= refs(doc).flatMap(docOf(_, u)).filterNot(seen)
+      }
+    }
+    JsonSchema.compile(root, store.toMap, Some(schemaUrl))
+  }
 
   /** True iff the URL resolves (and caches it as a side effect) — the
     * computed replacement for FullSubmission's `resolvableSchemas` input. */

@@ -170,6 +170,45 @@ class JsonSchemaSpec extends AnyFunSuite {
     assert(loader.resolvable(base + "leaf.json"))
   }
 
+  test("loader falls back to native $ref compilation for RECURSIVE remote schemas") {
+    // the inline resolver (reference-faithful dict.update walk) hits its
+    // depth guard on ref cycles — exactly where the reference's own
+    // schema_resolver.py would RecursionError; the loader then compiles
+    // with the evaluator's native RefCells instead, matching jsonschema's
+    // never-inlining validation path
+    val recRegistry = registry ++ Map(
+      base + "tree.json" ->
+        """{"$defs": {"node": {"type": "object",
+           |  "properties": {"v": {"type": "number"},
+           |    "kids": {"type": "array", "items": {"$ref": "#/$defs/node"}}},
+           |  "required": ["v"]}},
+           |"$ref": "#/$defs/node"}""".stripMargin,
+      // CROSS-document cycle: a <-> b
+      base + "a.json" ->
+        """{"properties": {"b": {"$ref": "b.json"}, "x": {"type": "number"}}}""",
+      base + "b.json" ->
+        """{"properties": {"a": {"$ref": "a.json"}, "y": {"type": "string"}}}""")
+    val loader = new SchemaLoader(SchemaLoader.mapFetcher(recRegistry))
+    val tree = loader.loadRemoteSchema(base + "tree.json")
+    // behavior identical to compiling the same schema directly (which the
+    // 880-case corpus pins against the live reference)
+    assert(JsonSchema.validate(tree, JsonMethods.parse(
+      """{"v": 1, "kids": [{"v": "bad"}, {"kids": []}]}""")) === List(
+      "'bad' is not of type 'number' in 'kids[0].v' (expected: {'type': 'number'})",
+      "'v' is a required property in 'kids[1]' (expected: " +
+        "{'type': 'object', 'properties': {'v': {'type': 'number'}, " +
+        "'kids': {'type': 'array', 'items': {'$ref': '#/$defs/node'}}}, " +
+        "'required': ['v']})"))
+    val a = loader.loadRemoteSchema(base + "a.json")
+    assert(JsonSchema.validate(a, JsonMethods.parse(
+      """{"b": {"a": {"x": "bad"}}}""")) === List(
+      "'bad' is not of type 'number' in 'b.a.x' (expected: {'type': 'number'})"))
+    // non-recursive schemas still take the reference-faithful inline path
+    val widget = loader.loadRemoteSchema(base + "widget.json")
+    assert(JsonSchema.validate(widget, JsonMethods.parse(
+      """{"part": {"id": "notint"}}""")).nonEmpty)
+  }
+
   // ------------------------------------------------------- spark dispatch
 
   test("per-doc type dispatch over a DataFrame (data_file_validator.py:117-132)") {

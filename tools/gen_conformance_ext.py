@@ -497,6 +497,101 @@ def gen_cases_45(rng):
     return cases
 
 
+def gen_cases_46(rng):
+    """Round-4 second batch: unevaluatedProperties / unevaluatedItems —
+    annotation-style evaluation across properties/patternProperties/
+    additionalProperties, valid combinator branches, if/then/else,
+    dependentSchemas and $ref, plus both message wordings."""
+    cases = []
+
+    def add(schema, doc):
+        cases.append((schema, doc))
+
+    objs = [{}, {"a": 1}, {"a": 1, "b": 2}, {"a": 1, "b": 2, "c": 3},
+            {"b": "x"}, {"px": 1, "q": 2}, {"a": "s", "b": 1},
+            {"a": 1, "zz": [1]}, {"b": 2, "c": "y"}]
+    for _ in range(34):
+        pick = rng.random()
+        if pick < 0.2:
+            schema = {"properties": {"a": {}}, "unevaluatedProperties":
+                      rng.choice([False, {"type": "number"}, {"maxLength": 1}])}
+        elif pick < 0.35:
+            branches = [{"properties": {"a": {}}},
+                        shuffled(rng, {"properties": {"b": {"type": "number"}},
+                                       "required": ["b"]})]
+            schema = {rng.choice(["allOf", "anyOf", "oneOf"]): branches,
+                      "unevaluatedProperties": False}
+        elif pick < 0.5:
+            schema = {"if": {"required": ["a"]},
+                      "then": {"properties": {"b": {}}},
+                      "unevaluatedProperties": False}
+            if rng.random() < 0.5:
+                schema["else"] = {"properties": {"c": {}}}
+        elif pick < 0.6:
+            schema = {"patternProperties": {"^p": {}},
+                      "unevaluatedProperties": False}
+        elif pick < 0.7:
+            schema = {"dependentSchemas": {"a": {"properties": {"b": {}}}},
+                      "unevaluatedProperties": False}
+        elif pick < 0.8:
+            schema = {"additionalProperties": rng.choice(
+                          [True, {"type": "number"}]),
+                      "unevaluatedProperties": False}
+        else:
+            schema = {"$defs": {"base": {"properties": {"a": {}}}},
+                      "$ref": "#/$defs/base",
+                      "unevaluatedProperties": False}
+        add(shuffled(rng, schema), rng.choice(objs))
+
+    arrs = [[], [1], [1, 2], [1, "x"], [1, 2, 3], ["a", 1, "b"],
+            [1, 2, "z"], [[1], {"a": 1}]]
+    for _ in range(26):
+        pick = rng.random()
+        if pick < 0.3:
+            schema = {"prefixItems": [{"type": "number"}],
+                      "unevaluatedItems": rng.choice([False, {"type": "number"}])}
+        elif pick < 0.45:
+            schema = {"contains": {"type": "string"},
+                      "unevaluatedItems": False}
+        elif pick < 0.6:
+            # items in ANY form evaluates the whole array
+            schema = {"items": rng.choice([{"type": "number"}, True]),
+                      "unevaluatedItems": False}
+        elif pick < 0.8:
+            schema = {"anyOf": [
+                {"prefixItems": [{"type": "number"}, {"type": "number"}]},
+                {"contains": {"const": "z"}}],
+                "unevaluatedItems": False}
+        else:
+            schema = {"if": {"contains": {"const": 1}},
+                      "then": {"prefixItems": [{}, {}]},
+                      "unevaluatedItems": False}
+        add(shuffled(rng, schema), rng.choice(arrs))
+
+    # deterministic must-cover pairs: each wording + the subtle evaluation
+    # rules (invalid-branch ignored, additionalProperties value-validity)
+    cases += [
+        ({"properties": {"a": {}}, "unevaluatedProperties": False},
+         {"a": 1, "b": 2, "c": 3}),
+        ({"unevaluatedProperties": {"type": "number"}}, {"a": 1, "b": "x"}),
+        ({"allOf": [{"properties": {"a": {"type": "number"}},
+                     "required": ["a"]}],
+          "unevaluatedProperties": False}, {"a": "bad", "b": 1}),
+        ({"additionalProperties": {"type": "number"},
+          "unevaluatedProperties": False}, {"a": 1, "b": "x"}),
+        ({"$defs": {"base": {"properties": {"a": {}}}},
+          "$ref": "#/$defs/base", "unevaluatedProperties": False},
+         {"a": 1, "b": 2}),
+        ({"prefixItems": [{"type": "number"}], "unevaluatedItems": False},
+         [1, 2, 3]),
+        ({"unevaluatedItems": {"type": "number"}}, [1, "x", 2]),
+        ({"contains": {"type": "string"}, "unevaluatedItems": False},
+         ["a", 1]),
+        ({"items": {"type": "number"}, "unevaluatedItems": False}, [1, "x"]),
+    ]
+    return cases
+
+
 def main():
     rng = random.Random(43)
     cases = gen_cases(rng)
@@ -504,6 +599,8 @@ def main():
         cases = gen_cases_44(random.Random(44))
     if "--batch45" in sys.argv:
         cases = gen_cases_45(random.Random(45))
+    if "--batch46" in sys.argv:
+        cases = gen_cases_46(random.Random(46))
     lines = []
     n_msgs = 0
     for schema, doc in cases:
