@@ -32,8 +32,10 @@ import org.json4s._
   * `items: false` "Expected at most N items" wording (2020-12), schema-form
   * `additionalProperties`, and `$ref` — same-document JSON-pointer refs
   * (`#`, `#/a/~1b`) incl. RECURSIVE schemas (compiled to a cyclic graph via
-  * [[RefCell]], never inlined), plus absolute-URI refs against a caller
-  * store. Legacy drafts ignore `$ref` siblings (jsonschema
+  * [[RefCell]], never inlined), plain-name anchors (`#name` via `$anchor`,
+  * or the legacy `$id`/`id: "#name"` spellings), plus absolute-URI refs
+  * against a caller store (opaque store docs inherit the referring draft).
+  * Legacy drafts ignore `$ref` siblings (jsonschema
   * ignore_ref_siblings); 2020-12 evaluates them alongside. 2020-12
   * `unevaluatedProperties`/`unevaluatedItems` are implemented with
   * jsonschema's annotation-style evaluated-key/index discovery (valid
@@ -178,6 +180,20 @@ object JsonSchema {
     case _ => false
   }
 
+  /** Python truthiness of a JSON value used as a draft-04 exclusive-bound
+    * modifier. */
+  private def truthyNum(v: JValue): Boolean = v match {
+    case JInt(n) => n != 0
+    case JDouble(n) => n != 0.0
+    case JDecimal(n) => n != 0
+    case JString(s) => s.nonEmpty
+    case JArray(xs) => xs.nonEmpty
+    case o: JObject => o.obj.nonEmpty
+    case JNull | JNothing => false
+    case JBool(b) => b
+    case _ => true
+  }
+
   private def draftOf(f: Map[String, JValue]): Int =
     f.get("$schema") match {
       case Some(JString(u)) if u.contains("draft-04") => 4
@@ -197,7 +213,11 @@ object JsonSchema {
       base: Option[String] = None) {
     import scala.collection.mutable
     val cells = mutable.Map.empty[String, RefCell]
-    private val pending = mutable.Queue.empty[String]
+    // each pending entry carries the draft of the REFERRING schema: a store
+    // document without its own $schema inherits it (live-verified — the
+    // reference keeps e.g. draft-04 semantics inside an opaque remote doc
+    // referenced from a draft-04 root)
+    private val pending = mutable.Queue.empty[(String, Int)]
     private val rootId: Option[String] = base.orElse(root match {
       case o: JObject => o.obj.collectFirst { case ("$id", JString(u)) => u }
       case _ => None
@@ -224,20 +244,41 @@ object JsonSchema {
       s"$docUri#$frag"
     }
 
-    def cell(curDoc: String, ref: String): RefCell = {
+    def cell(curDoc: String, ref: String, refDraft: Int): RefCell = {
       val k = keyOf(curDoc, ref)
-      cells.getOrElseUpdate(k, { pending.enqueue(k); new RefCell(k) })
+      cells.getOrElseUpdate(k, { pending.enqueue(k -> refDraft); new RefCell(k) })
+    }
+
+    /** Plain-name anchor lookup, first match in document order: `$anchor`
+      * (2020-12), `$id: "#name"` (draft-06/07), `id: "#name"` (draft-04) —
+      * all three live-verified. Unknown anchors throw, like jsonschema's
+      * NoSuchAnchor. */
+    def findAnchor(j: JValue, name: String, draft: Int): Option[JValue] = {
+      val key = if (draft >= 2020) "$anchor" else if (draft >= 6) "$id" else "id"
+      val want = if (draft >= 2020) name else "#" + name
+      def scan(v: JValue): Option[JValue] = v match {
+        case o: JObject =>
+          val here = o.obj.exists {
+            case (k, JString(s)) => k == key && s == want
+            case _ => false
+          }
+          if (here) Some(o)
+          else o.obj.view.map(f => scan(f._2)).collectFirst { case Some(x) => x }
+        case JArray(xs) => xs.view.map(scan).collectFirst { case Some(x) => x }
+        case _ => None
+      }
+      scan(j)
     }
 
     /** RFC-6901 JSON pointer: split on '/', then %xx-decode and ~1/~0
       * unescape each segment (that order — a %2F must not become a
-      * separator, and ~1 before ~0 per the RFC). */
+      * separator, and ~1 before ~0 per the RFC). Non-pointer fragments are
+      * anchors, handled by [[findAnchor]] before this is called. */
     private def pointer(j: JValue, frag: String): JValue = {
       if (frag.isEmpty) return j
       if (!frag.startsWith("/"))
         throw new IllegalArgumentException(
-          s"unsupported $$ref fragment '#$frag' — plain-name anchors are" +
-            " not supported, use JSON pointers")
+          s"unresolvable $$ref fragment '#$frag'")
       frag.substring(1).split("/", -1).foldLeft(j) { (cur, rawSeg) =>
         val seg = pctDecode(rawSeg).replace("~1", "/").replace("~0", "~")
         cur match {
@@ -262,16 +303,28 @@ object JsonSchema {
 
     private def pctDecode(s: String): String =
       if (!s.contains('%')) s
-      else {
-        val out = new java.io.ByteArrayOutputStream()
+      else try {
+        // decode %xx byte runs as UTF-8; copy other chars VERBATIM (chars,
+        // not per-char bytes — per-char encoding would corrupt surrogate
+        // pairs)
+        val sb = new StringBuilder
+        val bytes = new java.io.ByteArrayOutputStream()
+        def flush(): Unit = if (bytes.size > 0) {
+          sb.append(new String(bytes.toByteArray, "UTF-8")); bytes.reset()
+        }
         var i = 0
         while (i < s.length) {
           val c = s.charAt(i)
           if (c == '%' && i + 3 <= s.length) {
-            out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3
-          } else { out.write(c.toString.getBytes("UTF-8")); i += 1 }
+            bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+            i += 3
+          } else { flush(); sb.append(c); i += 1 }
         }
-        new String(out.toByteArray, "UTF-8")
+        flush()
+        sb.toString
+      } catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"unresolvable $$ref: malformed percent-escape in '$s'")
       }
 
     /** Resolve every pending ref; targets may enqueue more (recursion
@@ -280,7 +333,7 @@ object JsonSchema {
       * legacy drafts); store documents select their own. */
     def resolveAll(rootDraft: Int): Unit =
       while (pending.nonEmpty) {
-        val k = pending.dequeue()
+        val (k, refDraft) = pending.dequeue()
         val hash = k.indexOf('#')
         val (doc, frag) = (k.substring(0, hash), k.substring(hash + 1))
         val (docJson, draft) =
@@ -288,9 +341,23 @@ object JsonSchema {
           else {
             val dj = store.getOrElse(doc, throw new IllegalArgumentException(
               s"unresolvable $$ref '$doc' — not in the schema store"))
-            (dj, dj match { case o: JObject => draftOf(o.obj.toMap); case _ => 2020 })
+            val dDraft = dj match {
+              // a store doc selects its own draft only when it SAYS so;
+              // otherwise it inherits the referring validator's (jsonschema
+              // keeps the resolution scope's dialect — live-verified)
+              case o: JObject if o.obj.exists(_._1 == "$schema") =>
+                draftOf(o.obj.toMap)
+              case _ => refDraft
+            }
+            (dj, dDraft)
           }
-        cells(k).target = compileNode(pointer(docJson, frag), draft, this, doc)
+        val target =
+          if (frag.nonEmpty && !frag.startsWith("/"))
+            findAnchor(docJson, frag, draft).getOrElse(
+              throw new IllegalArgumentException(
+                s"unresolvable $$ref: no such anchor '#$frag'"))
+          else pointer(docJson, frag)
+        cells(k).target = compileNode(target, draft, this, doc)
       }
   }
 
@@ -408,7 +475,7 @@ object JsonSchema {
         unevalPropsIsFalse = f.get("unevaluatedProperties").contains(JBool(false)),
         unevalItems = f.get("unevaluatedItems").map(comp),
         refCell = f.get("$ref") match {
-          case Some(JString(u)) => Some(ctx.cell(curDoc, u))
+          case Some(JString(u)) => Some(ctx.cell(curDoc, u, draft))
           case Some(other) => throw new IllegalArgumentException(
             s"non-string $$ref: $other — check_schema rejects it")
           case None => None
@@ -449,14 +516,19 @@ object JsonSchema {
         maxLength = num("maxLength").map(_.toLong),
         minLength = num("minLength").map(_.toLong),
         minimum = f.get("minimum"), maximum = f.get("maximum"),
-        // draft-04 spells exclusivity as booleans modifying minimum/maximum;
-        // draft-06+ as standalone numeric keywords — a boolean there is a
-        // SCHEMA error (check_schema raises in the reference), so reject
+        // draft-04 spells exclusivity as a TRUTHY modifier of minimum/maximum
+        // (its keyword map has no standalone exclusiveMinimum validator, so
+        // a numeric value there — reachable via an opaque store doc; the
+        // root's check_schema would reject it — still only modifies, Python
+        // truthiness: nonzero = exclusive); draft-06+ has the standalone
+        // numeric keywords, and a boolean there is a SCHEMA error
+        // (check_schema raises in the reference), so reject
         minExclusive = f.get("exclusiveMinimum") match {
           case Some(_: JBool) if draft != 4 =>
             throw new IllegalArgumentException(
               "boolean exclusiveMinimum is draft-04 only (check_schema rejects it)")
           case Some(JBool(b)) => b
+          case Some(v) if draft == 4 => truthyNum(v)
           case _ => false
         },
         maxExclusive = f.get("exclusiveMaximum") match {
@@ -464,14 +536,17 @@ object JsonSchema {
             throw new IllegalArgumentException(
               "boolean exclusiveMaximum is draft-04 only (check_schema rejects it)")
           case Some(JBool(b)) => b
+          case Some(v) if draft == 4 => truthyNum(v)
           case _ => false
         },
         exclusiveMinimum = f.get("exclusiveMinimum") match {
           case Some(_: JBool) | None => None
+          case _ if draft == 4 => None // modifier only — no standalone check
           case other => other
         },
         exclusiveMaximum = f.get("exclusiveMaximum") match {
           case Some(_: JBool) | None => None
+          case _ if draft == 4 => None
           case other => other
         },
         multipleOf = f.get("multipleOf"),
@@ -1104,7 +1179,10 @@ object JsonSchema {
         "jsonschema evaluation recursion limit exceeded — no-progress $ref" +
           " cycle (the reference's Python raises RecursionError here)")
     if (s.falseSchema) return Set.empty
-    if (s.items.isDefined || s.itemsFalse) return xs.indices.toSet
+    // python: `if "items" in schema: return range(len(instance))` — ANY
+    // items form, incl. a legacy tuple form reached via cross-draft $ref
+    if (s.items.isDefined || s.itemsFalse || s.tupleItems.isDefined)
+      return xs.indices.toSet
     val d = depth + 1
     val out = Set.newBuilder[Int]
     s.refCell.foreach(c => out ++= evaluatedIdx(c.target, xs, d))

@@ -27,6 +27,18 @@ import org.json4s.jackson.JsonMethods
 final class SchemaNotFoundException(val uri: String)
     extends RuntimeException(s"Unable to find the desired schema $uri")
 
+/** Shared fetch + parse + not-found wrapping for the resolver's inline walk
+  * and the loader's native-$ref fallback crawl. */
+private[spec] object SchemaFetch {
+  def json(fetch: String => Option[String], uri: String): JValue =
+    fetch(uri) match {
+      case Some(body) =>
+        try JsonMethods.parse(body)
+        catch { case _: Exception => throw new SchemaNotFoundException(uri) }
+      case None => throw new SchemaNotFoundException(uri)
+    }
+}
+
 class SchemaResolver(schemasUri: String, fetch: String => Option[String]) {
 
   val baseUri: String =
@@ -37,13 +49,7 @@ class SchemaResolver(schemasUri: String, fetch: String => Option[String]) {
     try java.net.URI.create(base).resolve(ref).toString
     catch { case _: IllegalArgumentException => ref }
 
-  private def fetchDoc(uri: String): JValue =
-    fetch(uri) match {
-      case Some(body) =>
-        try JsonMethods.parse(body)
-        catch { case _: Exception => throw new SchemaNotFoundException(uri) }
-      case None => throw new SchemaNotFoundException(uri)
-    }
+  private def fetchDoc(uri: String): JValue = SchemaFetch.json(fetch, uri)
 
   /** Descend a `#/json/pointer` fragment. */
   private def pointer(doc: JValue, frag: String): JValue =
@@ -75,14 +81,18 @@ class SchemaResolver(schemasUri: String, fetch: String => Option[String]) {
   }
 
   private def walkDict(obj: JObject, ref: String, depth: Int): JObject = {
+    // depth counts $ref HOPS only (see below), never plain dict/array
+    // nesting: a deeply-nested but non-recursive schema must inline exactly
+    // as the reference does — only a genuine ref cycle should trip this (and
+    // then SchemaLoader falls back to native-RefCell compilation)
     if (depth > 64)
       throw new SchemaNotFoundException(s"$$ref nesting too deep at $ref")
     val out = scala.collection.mutable.LinkedHashMap[String, JValue]()
     obj.obj.foreach {
       case ("$ref", _) => // applied after the loop (dict.update semantics)
-      case (k, o: JObject) => out(k) = walkDict(o, ref, depth + 1)
+      case (k, o: JObject) => out(k) = walkDict(o, ref, depth)
       case (k, JArray(xs)) => out(k) = JArray(xs.map {
-        case o: JObject => walkDict(o, ref, depth + 1)
+        case o: JObject => walkDict(o, ref, depth)
         case v => v
       })
       case (k, v) => out(k) = v
@@ -196,12 +206,7 @@ class SchemaLoader(fetch: String => Option[String]) {
       }
     })
 
-  private def fetchJson(u: String): JValue = fetch(u) match {
-    case Some(body) =>
-      try JsonMethods.parse(body)
-      catch { case _: Exception => throw new SchemaNotFoundException(u) }
-    case None => throw new SchemaNotFoundException(u)
-  }
+  private def fetchJson(u: String): JValue = SchemaFetch.json(fetch, u)
 
   private def compileWithNativeRefs(schemaUrl: String): JsonSchema.Compiled = {
     def refs(j: JValue): List[String] = j match {

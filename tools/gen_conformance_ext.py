@@ -35,6 +35,30 @@ def messages_for(schema, doc):
     return [m.message for m in v.get_messages().get("f", [])]
 
 
+def assert_set_order_safe(schema, doc):
+    """Schema-form additionalProperties iterates a python SET in jsonschema:
+    with ≥2 failing extras the message ORDER is PYTHONHASHSEED-dependent
+    and the corpus would not regenerate byte-identically (the Scala side
+    iterates sorted keys). Generators must keep ≤1 failing extra per case —
+    this guard fails LOUDLY on a future seed/family change that would bake
+    a nondeterministic golden. (Top-level only: these families emit the
+    schema form only at the top level.)"""
+    import re
+    from jsonschema import validators
+    ap = schema.get("additionalProperties") if isinstance(schema, dict) else None
+    if not isinstance(ap, dict) or not isinstance(doc, dict):
+        return
+    cls = validators.validator_for(schema)
+    named = set(schema.get("properties", {}))
+    pats = list(schema.get("patternProperties", {}))
+    extras = [k for k in doc
+              if k not in named and not any(re.search(p, k) for p in pats)]
+    failing = [k for k in extras if not cls(ap).is_valid(doc[k])]
+    assert len(failing) <= 1, \
+        f"set-order hazard ({failing} all fail schema-form " \
+        f"additionalProperties): {schema} / {doc}"
+
+
 def shuffled(rng, d):
     keys = list(d.keys())
     rng.shuffle(keys)
@@ -604,6 +628,7 @@ def main():
     lines = []
     n_msgs = 0
     for schema, doc in cases:
+        assert_set_order_safe(schema, doc)
         msgs = messages_for(schema, doc)
         n_msgs += len(msgs)
         lines.append(json.dumps(
