@@ -616,6 +616,140 @@ def gen_cases_46(rng):
     return cases
 
 
+def gen_cases_47(rng):
+    """Round-4 third batch: HARD interactions between the newest machinery —
+    $ref through plain-name anchors, unevaluated* fed by $ref/anchor
+    targets, combinator-validity flips, nested unevaluated*, contains+
+    minContains alongside unevaluatedItems, and all three anchor
+    spellings."""
+    cases = []
+    D4 = "http://json-schema.org/draft-04/schema#"
+    D7 = "http://json-schema.org/draft-07/schema#"
+
+    def add(schema, doc):
+        cases.append((schema, doc))
+
+    objs = [{}, {"a": 1}, {"a": 1, "b": 2}, {"a": "s", "b": 2, "c": 3},
+            {"b": "x"}, {"a": {"k": 1}}, {"a": 1, "c": [1, 2]},
+            {"v": 1, "kids": [{"v": 2}]}, {"v": 1, "extra": 9}]
+    arrs = [[], [1], [1, "x"], [1, 2, 3], ["z", 1], [1, "z", 2], [[1], {}]]
+
+    # anchors (3 spellings) + combinators + required
+    for _ in range(20):
+        spelling = rng.choice(["2020", "d7", "d4"])
+        target = rng.choice([
+            {"type": "number", "minimum": 2},
+            shuffled(rng, {"type": "string", "minLength": 2}),
+            {"enum": [1, "a"]}])
+        if spelling == "2020":
+            defs = {"t": {"$anchor": "tgt", **target}}
+            schema = {"$defs": defs, "properties": {"x": {"$ref": "#tgt"}}}
+        elif spelling == "d7":
+            defs = {"t": {"$id": "#tgt", **target}}
+            schema = {"$schema": D7, "definitions": defs,
+                      "properties": {"x": {"$ref": "#tgt"}}}
+        else:
+            defs = {"t": {"id": "#tgt", **target}}
+            schema = {"$schema": D4, "definitions": defs,
+                      "properties": {"x": {"$ref": "#tgt"}}}
+        if rng.random() < 0.4:
+            schema["required"] = ["x"]
+        add(shuffled(rng, schema),
+            rng.choice([{"x": 1}, {"x": 5}, {"x": "ab"}, {"x": "z"}, {}]))
+
+    # unevaluatedProperties fed by $ref / anchor targets
+    for _ in range(18):
+        via_anchor = rng.random() < 0.5
+        base = {"properties": {"a": {}},
+                "patternProperties": {"^k": {}}} if rng.random() < 0.4 \
+            else {"properties": {"a": {}, "b": {"type": "number"}}}
+        if via_anchor:
+            schema = {"$defs": {"base": {"$anchor": "base", **base}},
+                      "$ref": "#base", "unevaluatedProperties":
+                          rng.choice([False, {"type": "number"}])}
+        else:
+            schema = {"$defs": {"base": base}, "$ref": "#/$defs/base",
+                      "unevaluatedProperties":
+                          rng.choice([False, {"type": "number"}])}
+        add(shuffled(rng, schema),
+            rng.choice(objs + [{"k1": 1, "z": "s"}, {"a": 1, "k2": 2, "q": 3}]))
+
+    # combinator-validity flips feeding unevaluated*
+    for _ in range(18):
+        b1 = shuffled(rng, {"properties": {"a": {"type": "number"}},
+                            "required": ["a"]})
+        b2 = {"properties": {"b": {}}}
+        comb = rng.choice(["allOf", "anyOf", "oneOf"])
+        schema = {comb: [b1, b2], "unevaluatedProperties": False}
+        add(shuffled(rng, schema),
+            rng.choice([{"a": 1}, {"a": "bad"}, {"a": 1, "b": 2},
+                        {"a": "bad", "b": 2}, {"b": 2, "c": 3}, {"c": 1}]))
+
+    # nested unevaluated*: inner objects with their own unevaluated rules
+    for _ in range(14):
+        inner = {"properties": {"v": {}}, "unevaluatedProperties": False}
+        schema = {"properties": {"o": shuffled(rng, inner)},
+                  "unevaluatedProperties": rng.choice([False, {"type": "array"}])}
+        add(shuffled(rng, schema),
+            rng.choice([{"o": {"v": 1}}, {"o": {"v": 1, "w": 2}},
+                        {"o": {}, "q": [1]}, {"o": {"w": 1}, "q": "s"}]))
+
+    # arrays: contains/minContains/prefixItems vs unevaluatedItems,
+    # $ref-supplied prefixes
+    for _ in range(18):
+        pick = rng.random()
+        if pick < 0.3:
+            schema = {"contains": {"const": "z"},
+                      "minContains": rng.randint(0, 2),
+                      "unevaluatedItems": False}
+        elif pick < 0.6:
+            schema = {"$defs": {"p": {"prefixItems": [{"type": "number"}]}},
+                      "$ref": "#/$defs/p", "unevaluatedItems":
+                          rng.choice([False, {"type": "string"}])}
+        else:
+            schema = {"prefixItems": [{"type": "number"}],
+                      "contains": {"type": "string"},
+                      "unevaluatedItems": False}
+        add(shuffled(rng, schema), rng.choice(arrs))
+
+    # recursive anchor tree + unevaluatedProperties at the node level
+    for _ in range(8):
+        node = {"$anchor": "node", "type": "object",
+                "properties": {"v": {"type": "number"},
+                               "kids": {"type": "array",
+                                        "items": {"$ref": "#node"}}},
+                "required": ["v"], "unevaluatedProperties": False}
+        schema = {"$defs": {"node": node}, "$ref": "#node"}
+        docs = [{"v": 1, "kids": [{"v": 2, "x": 3}]},
+                {"v": 1, "extra": 2},
+                {"v": 1, "kids": [{"v": 2}, {"kids": []}]},
+                {"v": "s", "kids": []}]
+        add(schema, rng.choice(docs))
+
+    # deterministic must-covers for each interaction family
+    cases += [
+        ({"$defs": {"base": {"$anchor": "base", "properties": {"a": {}}}},
+          "$ref": "#base", "unevaluatedProperties": False},
+         {"a": 1, "b": 2}),
+        ({"$defs": {"p": {"prefixItems": [{"type": "number"}]}},
+          "$ref": "#/$defs/p", "unevaluatedItems": False}, [1, "x"]),
+        ({"oneOf": [{"required": ["a"], "properties": {"a": {}}},
+                    {"required": ["b"], "properties": {"b": {}}}],
+          "unevaluatedProperties": False}, {"a": 1, "x": 2}),
+        ({"properties": {"o": {"properties": {"v": {}},
+                               "unevaluatedProperties": False}},
+          "unevaluatedProperties": False}, {"o": {"v": 1, "w": 2}, "q": 3}),
+        ({"contains": {"const": "z"}, "minContains": 2,
+          "unevaluatedItems": False}, ["z", 1]),
+        ({"$schema": D7, "definitions": {"t": {"$id": "#tgt", "minimum": 2}},
+          "properties": {"x": {"$ref": "#tgt"}}}, {"x": 1}),
+        ({"$schema": D4, "definitions": {"t": {"id": "#tgt",
+                                               "type": "string"}},
+          "properties": {"x": {"$ref": "#tgt"}}}, {"x": 1}),
+    ]
+    return cases
+
+
 def main():
     rng = random.Random(43)
     cases = gen_cases(rng)
@@ -625,6 +759,8 @@ def main():
         cases = gen_cases_45(random.Random(45))
     if "--batch46" in sys.argv:
         cases = gen_cases_46(random.Random(46))
+    if "--batch47" in sys.argv:
+        cases = gen_cases_47(random.Random(47))
     lines = []
     n_msgs = 0
     for schema, doc in cases:
