@@ -227,10 +227,20 @@ object SparkEntry {
       import s.implicits._
       val ev = s.read.parquet(t(dir, "events"))
         .withColumn("part_id", dayofmonth(col("ts")))
+      // MARGIN-robust verdicts for the oracle: the KS/chi2 statistic
+      // magnitudes wobble with KLL sketch merge order (measured at sf0.01:
+      // chi2 ±4-8 per partition across partitionings — one partition's
+      // band [21.0, 28.9] STRADDLES the 27.88 threshold, so the raw
+      // `stat > threshold` verdict is a coin flip there). 1.5×/1.25×
+      // cuts sit ≥13 (chi2) / ≥0.038 (ks) clear of every measured band;
+      // the knife-edge production verdicts are exercised by
+      // DriftAndManifestSpec's planted-drift tests instead.
       graft.engine.DriftPass.detect(s, ev, "value", "part_id")
         .toDF()
         .select(col("partId"), col("n"), col("ksThreshold"),
-          col("ksDrifted"), col("chi2Threshold"), col("chi2Drifted"))
+          (col("ksStat") > col("ksThreshold") * 1.25).as("ks_clearly_drifted"),
+          col("chi2Threshold"),
+          (col("chi2Stat") > col("chi2Threshold") * 1.5).as("chi2_clearly_drifted"))
         .orderBy("partId")
     }),
     // ---- §2.4 A9 stats with HyperLogLog++ distinct (engine pass) -----------

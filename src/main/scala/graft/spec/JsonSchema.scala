@@ -46,11 +46,15 @@ import org.json4s._
   * annotations there and are ignored, which is exactly what the reference
   * does.
   *
-  * The one remaining keyword that WOULD validate ($dynamicRef) is rejected
-  * LOUDLY at compile — silently ignoring a validation keyword would
-  * under-validate, the worst failure mode for a validator. `format` is
-  * annotation-only in the reference (no FormatChecker is ever passed,
-  * __init__.py:97-122).
+  * `$dynamicRef`/`$dynamicAnchor` complete the surface: static fallback to
+  * the lexical anchor, 2020-12 bookending (rebinding walks the runtime
+  * dynamic scope, outermost document first — cross-document extension
+  * pinned live against jsonschema+referencing). Every validation keyword
+  * of drafts 4/6/7/2020-12 that the reference's jsonschema enforces is now
+  * implemented; schema BUGS (unresolvable refs/anchors, tuple items at
+  * 2020-12, boolean exclusives at draft-06+) still fail loudly at compile
+  * — never silently. `format` is annotation-only in the reference (no
+  * FormatChecker is ever passed, __init__.py:97-122).
   */
 object JsonSchema {
 
@@ -64,6 +68,20 @@ object JsonSchema {
   final class RefCell(val key: String) extends Serializable {
     @volatile var target: Compiled = _
     override def toString: String = s"RefCell($key)"
+  }
+
+  /** `$dynamicRef "#name"` resolution state. Statically it behaves like an
+    * anchor ref to `fallback` (the lexical match in its own document); when
+    * that match is a `$dynamicAnchor`, evaluation REBINDS to the first
+    * document in the DYNAMIC SCOPE (entry order, outermost first) that
+    * declares a `$dynamicAnchor` of the same name — `candidates` maps
+    * docUri → compiled anchor target (2020-12 bookending rule; behavior
+    * pinned live against jsonschema+referencing). */
+  final class DynCell(val name: String) extends Serializable {
+    @volatile var isDynamic: Boolean = false
+    @volatile var fallback: Compiled = _
+    @volatile var candidates: Map[String, Compiled] = Map.empty
+    override def toString: String = s"DynCell($name)"
   }
 
   final case class Compiled(
@@ -98,6 +116,8 @@ object JsonSchema {
       // $ref: resolved lazily via the cell (legacy drafts ignore siblings;
       // 2020-12 evaluates $ref alongside them in dict order)
       refCell: Option[RefCell],
+      dynRefCell: Option[DynCell], // 2020-12 $dynamicRef "#name"
+      docUri: String, // document this node was compiled from ("" = root)
       anyOf: Seq[Compiled],
       oneOf: Seq[Compiled],
       allOf: Seq[Compiled],
@@ -147,17 +167,16 @@ object JsonSchema {
 
   // ---------------------------------------------------------------- compile
 
-  /** Spec-defined validation keywords the evaluator does NOT implement, per
-    * draft. These are rejected LOUDLY at compile: silently ignoring a
+  /** Spec-defined validation keywords the evaluator does NOT implement,
+    * per draft — EMPTY as of round 4 (the full reference-enforced surface
+    * is implemented). The loud-reject plumbing stays: silently ignoring a
     * keyword the reference's jsonschema WOULD enforce is under-validation,
     * the worst failure mode for a validator. Keywords OUTSIDE a draft's
     * vocabulary are a different story: jsonschema ignores them as
     * annotations (e.g. `dependencies` under 2020-12, `if` under draft-06,
     * or the reference's own non-spec 'name' key), so ignoring them is
-    * faithful. `format` is likewise annotation-only in the reference (no
-    * FormatChecker is ever passed, __init__.py:97-122). */
-  private def unsupportedIn(draft: Int): Set[String] =
-    if (draft >= 2020) Set("$dynamicRef") else Set.empty
+    * faithful. */
+  private def unsupportedIn(draft: Int): Set[String] = Set.empty
 
   /** The validation vocabulary of each draft — keywords outside it are
     * annotations there (jsonschema ignores them; so do we). */
@@ -175,7 +194,7 @@ object JsonSchema {
     case "const" | "contains" | "propertyNames" => draft >= 6
     case "if" | "then" | "else" => draft >= 7
     case "dependentRequired" | "dependentSchemas" | "prefixItems" |
-         "unevaluatedProperties" | "unevaluatedItems" |
+         "unevaluatedProperties" | "unevaluatedItems" | "$dynamicRef" |
          "minContains" | "maxContains" => draft >= 2020
     case _ => false
   }
@@ -254,12 +273,16 @@ object JsonSchema {
       * all three live-verified. Unknown anchors throw, like jsonschema's
       * NoSuchAnchor. */
     def findAnchor(j: JValue, name: String, draft: Int): Option[JValue] = {
-      val key = if (draft >= 2020) "$anchor" else if (draft >= 6) "$id" else "id"
+      // at 2020-12 a $dynamicAnchor is ALSO resolvable statically ($ref
+      // "#name" to it works — live-verified)
+      val keys: Set[String] =
+        if (draft >= 2020) Set("$anchor", "$dynamicAnchor")
+        else if (draft >= 6) Set("$id") else Set("id")
       val want = if (draft >= 2020) name else "#" + name
       def scan(v: JValue): Option[JValue] = v match {
         case o: JObject =>
           val here = o.obj.exists {
-            case (k, JString(s)) => k == key && s == want
+            case (k, JString(s)) => keys(k) && s == want
             case _ => false
           }
           if (here) Some(o)
@@ -269,6 +292,27 @@ object JsonSchema {
       }
       scan(j)
     }
+
+    /** Node declaring `$dynamicAnchor: name` within a document, if any. */
+    def findDynAnchor(j: JValue, name: String): Option[JValue] = {
+      def scan(v: JValue): Option[JValue] = v match {
+        case o: JObject =>
+          if (o.obj.contains("$dynamicAnchor" -> JString(name))) Some(o)
+          else o.obj.view.map(f => scan(f._2)).collectFirst { case Some(x) => x }
+        case JArray(xs) => xs.view.map(scan).collectFirst { case Some(x) => x }
+        case _ => None
+      }
+      scan(j)
+    }
+
+    val dynCells = mutable.Map.empty[(String, String), DynCell]
+    private val dynPending = mutable.Queue.empty[(String, String, Int)]
+
+    def dynCell(curDoc: String, name: String, refDraft: Int): DynCell =
+      dynCells.getOrElseUpdate(curDoc -> name, {
+        dynPending.enqueue((curDoc, name, refDraft))
+        new DynCell(name)
+      })
 
     /** RFC-6901 JSON pointer: split on '/', then %xx-decode and ~1/~0
       * unescape each segment (that order — a %2F must not become a
@@ -331,34 +375,71 @@ object JsonSchema {
       * terminates because cells are memoized by key). Subschemas of the root
       * inherit the ROOT draft (jsonschema ignores nested `$schema` on
       * legacy drafts); store documents select their own. */
-    def resolveAll(rootDraft: Int): Unit =
-      while (pending.nonEmpty) {
-        val (k, refDraft) = pending.dequeue()
-        val hash = k.indexOf('#')
-        val (doc, frag) = (k.substring(0, hash), k.substring(hash + 1))
-        val (docJson, draft) =
-          if (doc.isEmpty) (root, rootDraft)
-          else {
-            val dj = store.getOrElse(doc, throw new IllegalArgumentException(
-              s"unresolvable $$ref '$doc' — not in the schema store"))
-            val dDraft = dj match {
-              // a store doc selects its own draft only when it SAYS so;
-              // otherwise it inherits the referring validator's (jsonschema
-              // keeps the resolution scope's dialect — live-verified)
-              case o: JObject if o.obj.exists(_._1 == "$schema") =>
-                draftOf(o.obj.toMap)
-              case _ => refDraft
-            }
-            (dj, dDraft)
-          }
-        val target =
-          if (frag.nonEmpty && !frag.startsWith("/"))
-            findAnchor(docJson, frag, draft).getOrElse(
-              throw new IllegalArgumentException(
-                s"unresolvable $$ref: no such anchor '#$frag'"))
-          else pointer(docJson, frag)
-        cells(k).target = compileNode(target, draft, this, doc)
+    private def docAndDraft(doc: String, rootDraft: Int,
+        refDraft: Int): (JValue, Int) =
+      if (doc.isEmpty) (root, rootDraft)
+      else {
+        val dj = store.getOrElse(doc, throw new IllegalArgumentException(
+          s"unresolvable $$ref '$doc' — not in the schema store"))
+        val dDraft = dj match {
+          // a store doc selects its own draft only when it SAYS so;
+          // otherwise it inherits the referring validator's (jsonschema
+          // keeps the resolution scope's dialect — live-verified)
+          case o: JObject if o.obj.exists(_._1 == "$schema") =>
+            draftOf(o.obj.toMap)
+          case _ => refDraft
+        }
+        (dj, dDraft)
       }
+
+    def resolveAll(rootDraft: Int): Unit = {
+      def drainRefs(): Unit =
+        while (pending.nonEmpty) {
+          val (k, refDraft) = pending.dequeue()
+          val hash = k.indexOf('#')
+          val (doc, frag) = (k.substring(0, hash), k.substring(hash + 1))
+          val (docJson, draft) = docAndDraft(doc, rootDraft, refDraft)
+          val target =
+            if (frag.nonEmpty && !frag.startsWith("/"))
+              findAnchor(docJson, frag, draft).getOrElse(
+                throw new IllegalArgumentException(
+                  s"unresolvable $$ref: no such anchor '#$frag'"))
+            else pointer(docJson, frag)
+          cells(k).target = compileNode(target, draft, this, doc)
+        }
+      drainRefs()
+      // $dynamicRef cells: static fallback in the CONTAINING doc, plus the
+      // per-document $dynamicAnchor candidates for runtime rebinding —
+      // resolving either can enqueue new refs, so interleave to fixpoint
+      while (dynPending.nonEmpty) {
+        val (doc, name, refDraft) = dynPending.dequeue()
+        val c = dynCells(doc -> name)
+        val (docJson, draft) = docAndDraft(doc, rootDraft, refDraft)
+        val staticNode = findAnchor(docJson, name, draft).getOrElse(
+          throw new IllegalArgumentException(
+            s"unresolvable $$dynamicRef: no such anchor '#$name'"))
+        c.isDynamic = staticNode match {
+          case o: JObject => o.obj.contains("$dynamicAnchor" -> JString(name))
+          case _ => false
+        }
+        c.fallback = compileNode(staticNode, draft, this, doc)
+        if (c.isDynamic)
+          c.candidates = (("" -> root) +: store.toSeq).flatMap { case (u, dj) =>
+            findDynAnchor(dj, name).map { node =>
+              val dDraft =
+                if (u.isEmpty) rootDraft
+                else dj match {
+                  case o: JObject if o.obj.exists(_._1 == "$schema") =>
+                    draftOf(o.obj.toMap)
+                  case _ => 2020 // $dynamicAnchor implies the modern draft
+                }
+              u -> compileNode(node, dDraft, this, u)
+            }
+          }.toMap
+        drainRefs()
+      }
+      drainRefs()
+    }
   }
 
   def compile(j: JValue): Compiled = compile(j, Map.empty[String, JValue])
@@ -480,6 +561,17 @@ object JsonSchema {
             s"non-string $$ref: $other — check_schema rejects it")
           case None => None
         },
+        dynRefCell = f.get("$dynamicRef") match {
+          case Some(JString(u))
+              if u.length > 1 && u.startsWith("#") &&
+                !u.substring(1).contains("/") =>
+            Some(ctx.dynCell(curDoc, u.substring(1), draft))
+          case Some(other) => throw new IllegalArgumentException(
+            s"unsupported $$dynamicRef form: $other — only plain '#name'" +
+              " anchors are supported")
+          case None => None
+        },
+        docUri = curDoc,
         anyOf = subs("anyOf"), oneOf = subs("oneOf"), allOf = subs("allOf"),
         notSchema = f.get("not").map(comp),
         dependencies = f.get("dependencies") match {
@@ -631,13 +723,29 @@ object JsonSchema {
 
   /** All errors of `doc` against `schema`, in jsonschema's iteration order
     * (schema-keyword order, then instance recursion depth-first). */
-  def errors(schema: Compiled, doc: JValue): List[Err] = errorsAt(schema, doc, 0)
+  def errors(schema: Compiled, doc: JValue): List[Err] =
+    errorsAt(schema, doc, 0, List(schema.docUri))
 
-  private def errorsAt(schema: Compiled, doc: JValue, depth: Int): List[Err] = {
+  private def errorsAt(schema: Compiled, doc: JValue, depth: Int,
+      scope: List[String]): List[Err] = {
     val buf = List.newBuilder[Err]
-    walk(schema, doc, Nil, buf, depth)
+    walk(schema, doc, Nil, buf, depth, scope)
     buf.result()
   }
+
+  /** Dynamic-scope push: entering a ref target in ANOTHER document appends
+    * that document to the scope (outermost-first entry order). */
+  private def enterScope(scope: List[String], t: Compiled): List[String] =
+    if (scope.nonEmpty && t.docUri == scope.last) scope else scope :+ t.docUri
+
+  /** $dynamicRef target for the CURRENT dynamic scope: first entered
+    * document declaring the $dynamicAnchor wins; plain-anchor targets (no
+    * bookending) resolve statically. */
+  private def dynTarget(c: DynCell, scope: List[String]): Compiled =
+    if (!c.isDynamic) c.fallback
+    else scope.collectFirst {
+      case u if c.candidates.contains(u) => c.candidates(u)
+    }.getOrElse(c.fallback)
 
   def isValid(schema: Compiled, doc: JValue): Boolean = {
     // short-circuit variant of errors() — no message materialization
@@ -657,7 +765,8 @@ object JsonSchema {
     * emits nested property errors BEFORE its own required errors, and one
     * written {required, properties} the other way around. */
   private def walk(s: Compiled, v: JValue, rpath: List[Either[Int, String]],
-      out: scala.collection.mutable.Growable[Err], depth: Int = 0): Unit = {
+      out: scala.collection.mutable.Growable[Err], depth: Int,
+      scope: List[String]): Unit = {
     if (depth > MaxWalkDepth)
       throw new IllegalStateException(
         "jsonschema evaluation recursion limit exceeded — no-progress $ref" +
@@ -666,12 +775,19 @@ object JsonSchema {
     // legacy drafts apply ONLY $ref when present, ignoring every sibling
     // keyword (jsonschema _legacy_keywords.ignore_ref_siblings)
     if (s.draft < 2020 && s.refCell.isDefined) {
-      walk(s.refCell.get.target, v, rpath, out, d)
+      val t = s.refCell.get.target
+      walk(t, v, rpath, out, d, enterScope(scope, t))
       return
     }
     s.keyOrder.foreach {
       case "$ref" =>
-        s.refCell.foreach(c => walk(c.target, v, rpath, out, d))
+        s.refCell.foreach(c =>
+          walk(c.target, v, rpath, out, d, enterScope(scope, c.target)))
+      case "$dynamicRef" =>
+        s.dynRefCell.foreach { c =>
+          val t = dynTarget(c, scope)
+          walk(t, v, rpath, out, d, enterScope(scope, t))
+        }
       case "$falseSchema$" if s.falseSchema =>
         out += err(s, v, rpath, "falseSchema",
           s"False schema does not allow ${PyRepr.render(v)}")
@@ -711,7 +827,7 @@ object JsonSchema {
               !s.compiledPatternProps.exists(_._1.matcher(k).find())
           }.sortBy(_._1)
           extras.foreach { case (k, fv) =>
-            walk(s.additionalSchema.get, fv, Right(k) :: rpath, out, 0)
+            walk(s.additionalSchema.get, fv, Right(k) :: rpath, out, 0, scope)
           }
         case JObject(fields) if !s.additionalAllowed =>
           // "additional" = not named in properties AND not matched by any
@@ -739,7 +855,7 @@ object JsonSchema {
         case JObject(fields) =>
           s.properties.foreach { case (k, sub) =>
             fields.find(_._1 == k).foreach { case (_, fv) =>
-              walk(sub, fv, Right(k) :: rpath, out, 0)
+              walk(sub, fv, Right(k) :: rpath, out, 0, scope)
             }
           }
         case _ => ()
@@ -748,7 +864,7 @@ object JsonSchema {
         case JObject(fields) =>
           s.compiledPatternProps.foreach { case (pat, sub) =>
             fields.foreach { case (k, fv) =>
-              if (pat.matcher(k).find()) walk(sub, fv, Right(k) :: rpath, out, 0)
+              if (pat.matcher(k).find()) walk(sub, fv, Right(k) :: rpath, out, 0, scope)
             }
           }
         case _ => ()
@@ -756,7 +872,7 @@ object JsonSchema {
       case "propertyNames" => v match {
         case JObject(fields) => s.propNames.foreach { sub =>
           // each KEY is validated as an instance; the path stays put
-          fields.foreach { case (k, _) => walk(sub, JString(k), rpath, out, 0) }
+          fields.foreach { case (k, _) => walk(sub, JString(k), rpath, out, 0, scope) }
         }
         case _ => ()
       }
@@ -770,7 +886,7 @@ object JsonSchema {
                 out += err(s, v, rpath, "dependencies",
                   s"${PyRepr.str(r)} is a dependency of ${PyRepr.str(prop)}")
             }
-            case (_, Right(sub)) => walk(sub, v, rpath, out, d)
+            case (_, Right(sub)) => walk(sub, v, rpath, out, d, scope)
           }
         case _ => ()
       }
@@ -790,7 +906,7 @@ object JsonSchema {
         case JObject(fields) =>
           val keys = fields.map(_._1).toSet
           s.dependentSchemas.foreach { case (prop, sub) =>
-            if (keys.contains(prop)) walk(sub, v, rpath, out, d)
+            if (keys.contains(prop)) walk(sub, v, rpath, out, d, scope)
           }
         case _ => ()
       }
@@ -805,7 +921,7 @@ object JsonSchema {
             var overflowed = false
             val it = xs.iterator
             while (it.hasNext && !overflowed) {
-              if (errorsAt(sub, it.next(), 0).isEmpty) {
+              if (errorsAt(sub, it.next(), 0, scope).isEmpty) {
                 matches += 1
                 if (matches > maxC) {
                   overflowed = true
@@ -823,7 +939,7 @@ object JsonSchema {
                   s"Too few items match the given schema (expected at least $minC but only $matches matched)")
             }
           } else { // draft-06/07 wording
-            if (!xs.exists(x => errorsAt(sub, x, 0).isEmpty))
+            if (!xs.exists(x => errorsAt(sub, x, 0, scope).isEmpty))
               out += err(s, v, rpath, "contains",
                 s"None of ${PyRepr.render(v)} are valid under the given schema")
           }
@@ -831,8 +947,8 @@ object JsonSchema {
         case _ => ()
       }
       case "if" => s.ifSchema.foreach { cond =>
-        if (errorsAt(cond, v, d).isEmpty) s.thenSchema.foreach(walk(_, v, rpath, out, d))
-        else s.elseSchema.foreach(walk(_, v, rpath, out, d))
+        if (errorsAt(cond, v, d, scope).isEmpty) s.thenSchema.foreach(walk(_, v, rpath, out, d, scope))
+        else s.elseSchema.foreach(walk(_, v, rpath, out, d, scope))
       }
       case "items" => v match {
         case JArray(xs) =>
@@ -852,7 +968,7 @@ object JsonSchema {
                   s"Expected at most $prefix $itemWord but found $extra extra: $rest")
               } else s.items.foreach { sub =>
                 (prefix until xs.size).foreach { i =>
-                  walk(sub, xs(i), Left(i) :: rpath, out, 0)
+                  walk(sub, xs(i), Left(i) :: rpath, out, 0, scope)
                 }
               }
             }
@@ -860,11 +976,11 @@ object JsonSchema {
             // legacy tuple form: position i validates against subschema i
             case Some(ts) =>
               xs.zip(ts).zipWithIndex.foreach { case ((x, sub), i) =>
-                walk(sub, x, Left(i) :: rpath, out, 0)
+                walk(sub, x, Left(i) :: rpath, out, 0, scope)
               }
             case None => s.items.foreach { sub =>
               xs.zipWithIndex.foreach { case (x, i) =>
-                walk(sub, x, Left(i) :: rpath, out, 0)
+                walk(sub, x, Left(i) :: rpath, out, 0, scope)
               }
             }
           }
@@ -873,7 +989,7 @@ object JsonSchema {
       case "prefixItems" => v match {
         case JArray(xs) =>
           xs.zip(s.prefixItems).zipWithIndex.foreach { case ((x, sub), i) =>
-            walk(sub, x, Left(i) :: rpath, out, 0)
+            walk(sub, x, Left(i) :: rpath, out, 0, scope)
           }
         case _ => ()
       }
@@ -885,7 +1001,7 @@ object JsonSchema {
           s.addItemsSchema match {
             case Some(sub) =>
               (n until xs.size).foreach { i =>
-                walk(sub, xs(i), Left(i) :: rpath, out, 0)
+                walk(sub, xs(i), Left(i) :: rpath, out, 0, scope)
               }
             case None if !s.addItemsAllowed && xs.size > n =>
               val extras = xs.drop(n)
@@ -1034,11 +1150,11 @@ object JsonSchema {
       }
       case "unevaluatedProperties" => v match {
         case o: JObject => s.unevalProps.foreach { sub =>
-          val eval = evaluatedKeys(s, o, d)
+          val eval = evaluatedKeys(s, o, d, scope)
           // a non-evaluated key whose value FAILS the subschema is flagged
           // (for `false` every value fails, so every leftover key is)
           val bad = o.obj.collect {
-            case (k, fv) if !eval.contains(k) && errorsAt(sub, fv, d).nonEmpty => k
+            case (k, fv) if !eval.contains(k) && errorsAt(sub, fv, d, scope).nonEmpty => k
           }
           if (bad.nonEmpty) {
             if (s.unevalPropsIsFalse) {
@@ -1063,7 +1179,7 @@ object JsonSchema {
           // evaluated (find_evaluated_item_indexes_by_schema includes
           // 'unevaluatedItems' in its contains-style loop), so leftovers
           // here are the failing ones — flagged regardless of schema form
-          val eval = evaluatedIdx(s, xs, d)
+          val eval = evaluatedIdx(s, xs, d, scope)
           val extras = xs.zipWithIndex.collect {
             case (x, i) if !eval.contains(i) => x
           }
@@ -1077,12 +1193,12 @@ object JsonSchema {
         case _ => ()
       }
       case "not" => s.notSchema.foreach { sub =>
-        if (errorsAt(sub, v, d).isEmpty)
+        if (errorsAt(sub, v, d, scope).isEmpty)
           out += err(s, v, rpath, "not",
             s"${PyRepr.render(v)} should not be valid under ${sub.repr}")
       }
       case "anyOf" if s.anyOf.nonEmpty =>
-        val ctxs = s.anyOf.map(errorsAt(_, v, d))
+        val ctxs = s.anyOf.map(errorsAt(_, v, d, scope))
         if (!ctxs.exists(_.isEmpty)) {
           // context errors keep their path RELATIVE to this instance —
           // jsonschema's ValidationError.path on context errors is the
@@ -1093,7 +1209,7 @@ object JsonSchema {
             s"${PyRepr.render(v)} is not valid under any of the given schemas", ctx)
         }
       case "oneOf" if s.oneOf.nonEmpty =>
-        val ctxs = s.oneOf.map(errorsAt(_, v, d))
+        val ctxs = s.oneOf.map(errorsAt(_, v, d, scope))
         val nValid = ctxs.count(_.isEmpty)
         if (nValid == 0) {
           val ctx = ctxs.flatten.toList
@@ -1108,7 +1224,7 @@ object JsonSchema {
           out += err(s, v, rpath, "oneOf",
             s"${PyRepr.render(v)} is valid under each of $reprs")
         }
-      case "allOf" => s.allOf.foreach(walk(_, v, rpath, out, d))
+      case "allOf" => s.allOf.foreach(walk(_, v, rpath, out, d, scope))
       case _ => () // $schema, $id, id, title, description, ...
     }
   }
@@ -1120,7 +1236,8 @@ object JsonSchema {
     * matches, dependentSchemas recursion, VALID allOf/anyOf/oneOf branches,
     * if(+then)/else recursion, and $ref targets. The instance never
     * descends — depth rides the same-instance guard. */
-  private def evaluatedKeys(s: Compiled, v: JObject, depth: Int): Set[String] = {
+  private def evaluatedKeys(s: Compiled, v: JObject, depth: Int,
+      scope: List[String]): Set[String] = {
     if (depth > MaxWalkDepth)
       throw new IllegalStateException(
         "jsonschema evaluation recursion limit exceeded — no-progress $ref" +
@@ -1128,7 +1245,12 @@ object JsonSchema {
     if (s.falseSchema) return Set.empty
     val d = depth + 1
     val out = Set.newBuilder[String]
-    s.refCell.foreach(c => out ++= evaluatedKeys(c.target, v, d))
+    s.refCell.foreach(c =>
+      out ++= evaluatedKeys(c.target, v, d, enterScope(scope, c.target)))
+    s.dynRefCell.foreach { c =>
+      val t = dynTarget(c, scope)
+      out ++= evaluatedKeys(t, v, d, enterScope(scope, t))
+    }
     val keys = v.obj.map(_._1)
     if (s.properties.nonEmpty) {
       val named = s.properties.map(_._1).toSet
@@ -1138,7 +1260,7 @@ object JsonSchema {
     // valid under the subschema counts as evaluated (not just "additional"
     // ones — jsonschema checks all instance items here)
     def validUnder(sub: Compiled, fv: JValue): Boolean =
-      errorsAt(sub, fv, d).isEmpty
+      errorsAt(sub, fv, d, scope).isEmpty
     if (s.additionalPresent) {
       s.additionalSchema match {
         case Some(sub) => out ++= v.obj.collect {
@@ -1153,16 +1275,16 @@ object JsonSchema {
       out ++= keys.filter(k =>
         s.compiledPatternProps.exists(_._1.matcher(k).find()))
     s.dependentSchemas.foreach { case (prop, sub) =>
-      if (keys.contains(prop)) out ++= evaluatedKeys(sub, v, d)
+      if (keys.contains(prop)) out ++= evaluatedKeys(sub, v, d, scope)
     }
     (s.allOf ++ s.oneOf ++ s.anyOf).foreach { sub =>
-      if (errorsAt(sub, v, d).isEmpty) out ++= evaluatedKeys(sub, v, d)
+      if (errorsAt(sub, v, d, scope).isEmpty) out ++= evaluatedKeys(sub, v, d, scope)
     }
     s.ifSchema.foreach { cond =>
-      if (errorsAt(cond, v, d).isEmpty) {
-        out ++= evaluatedKeys(cond, v, d)
-        s.thenSchema.foreach(t => out ++= evaluatedKeys(t, v, d))
-      } else s.elseSchema.foreach(e => out ++= evaluatedKeys(e, v, d))
+      if (errorsAt(cond, v, d, scope).isEmpty) {
+        out ++= evaluatedKeys(cond, v, d, scope)
+        s.thenSchema.foreach(t => out ++= evaluatedKeys(t, v, d, scope))
+      } else s.elseSchema.foreach(e => out ++= evaluatedKeys(e, v, d, scope))
     }
     out.result()
   }
@@ -1173,7 +1295,8 @@ object JsonSchema {
     * prefixItems evaluates its positions, contains/unevaluatedItems
     * evaluate items VALID under them, plus $ref, if/then/else and valid
     * combinator branches. */
-  private def evaluatedIdx(s: Compiled, xs: List[JValue], depth: Int): Set[Int] = {
+  private def evaluatedIdx(s: Compiled, xs: List[JValue], depth: Int,
+      scope: List[String]): Set[Int] = {
     if (depth > MaxWalkDepth)
       throw new IllegalStateException(
         "jsonschema evaluation recursion limit exceeded — no-progress $ref" +
@@ -1185,20 +1308,25 @@ object JsonSchema {
       return xs.indices.toSet
     val d = depth + 1
     val out = Set.newBuilder[Int]
-    s.refCell.foreach(c => out ++= evaluatedIdx(c.target, xs, d))
+    s.refCell.foreach(c =>
+      out ++= evaluatedIdx(c.target, xs, d, enterScope(scope, c.target)))
+    s.dynRefCell.foreach { c =>
+      val t = dynTarget(c, scope)
+      out ++= evaluatedIdx(t, xs, d, enterScope(scope, t))
+    }
     out ++= s.prefixItems.indices
     s.ifSchema.foreach { cond =>
-      if (errorsAt(cond, JArray(xs), d).isEmpty) {
-        out ++= evaluatedIdx(cond, xs, d)
-        s.thenSchema.foreach(t => out ++= evaluatedIdx(t, xs, d))
-      } else s.elseSchema.foreach(e => out ++= evaluatedIdx(e, xs, d))
+      if (errorsAt(cond, JArray(xs), d, scope).isEmpty) {
+        out ++= evaluatedIdx(cond, xs, d, scope)
+        s.thenSchema.foreach(t => out ++= evaluatedIdx(t, xs, d, scope))
+      } else s.elseSchema.foreach(e => out ++= evaluatedIdx(e, xs, d, scope))
     }
     Seq(s.containsSchema, s.unevalItems).flatten.foreach { sub =>
       out ++= xs.zipWithIndex.collect {
-        case (x, i) if errorsAt(sub, x, d).isEmpty => i }
+        case (x, i) if errorsAt(sub, x, d, scope).isEmpty => i }
     }
     (s.allOf ++ s.oneOf ++ s.anyOf).foreach { sub =>
-      if (errorsAt(sub, JArray(xs), d).isEmpty) out ++= evaluatedIdx(sub, xs, d)
+      if (errorsAt(sub, JArray(xs), d, scope).isEmpty) out ++= evaluatedIdx(sub, xs, d, scope)
     }
     out.result()
   }

@@ -750,6 +750,68 @@ def gen_cases_47(rng):
     return cases
 
 
+def gen_cases_48(rng):
+    """Round-4 fourth batch: single-document $dynamicRef — dynamic-anchor
+    resolution, recursion through $dynamicRef, plain-$anchor fallback (no
+    bookending), $ref to a $dynamicAnchor, and interactions with
+    combinators/unevaluated*. (Cross-document rebinding needs a registry,
+    which this generator's direct-schema path cannot express — pinned by
+    hand in JsonSchemaConformanceSpec instead.)"""
+    cases = []
+
+    def add(schema, doc):
+        cases.append((schema, doc))
+
+    targets = [
+        {"type": "number", "minimum": 2},
+        {"type": "string"},
+        {"enum": [1, "a"]},
+        {"type": "object", "required": ["v"]},
+    ]
+    docs = [1, 5, "a", "zz", {"v": 1}, {"w": 2}, [1], None, 2.5]
+    for _ in range(16):
+        t = dict(rng.choice(targets))
+        anchor_kw = rng.choice(["$dynamicAnchor", "$anchor"])
+        ref_kw = rng.choice(["$dynamicRef", "$ref"])
+        schema = {"$defs": {"n": {anchor_kw: "node", **t}}, ref_kw: "#node"}
+        add(shuffled(rng, schema), rng.choice(docs))
+
+    # recursion through $dynamicRef
+    for _ in range(10):
+        node = {"$dynamicAnchor": "node", "type": "object",
+                "properties": {"v": {"type": "number"},
+                               "next": {"$dynamicRef": "#node"}},
+                "required": ["v"]}
+        schema = {"$defs": {"n": node}, "$dynamicRef": "#node"}
+        add(schema, rng.choice([
+            {"v": 1}, {"v": 1, "next": {"v": 2}}, {"v": 1, "next": {}},
+            {"next": {"v": 2}}, {"v": "s", "next": {"v": 2, "next": 3}}]))
+
+    # $dynamicRef under combinators / with unevaluatedProperties
+    for _ in range(12):
+        t = dict(rng.choice(targets))
+        schema = {"$defs": {"n": {"$dynamicAnchor": "node", **t}},
+                  rng.choice(["anyOf", "oneOf", "allOf"]): [
+                      {"$dynamicRef": "#node"}, {"type": "array"}]}
+        add(shuffled(rng, schema), rng.choice(docs))
+    for _ in range(8):
+        schema = {"$defs": {"n": {"$dynamicAnchor": "props",
+                                  "properties": {"a": {}}}},
+                  "$dynamicRef": "#props", "unevaluatedProperties": False}
+        add(shuffled(rng, schema),
+            rng.choice([{"a": 1}, {"a": 1, "b": 2}, {"b": 2}, {}]))
+
+    cases += [
+        ({"$defs": {"n": {"$dynamicAnchor": "node", "type": "number"}},
+          "$dynamicRef": "#node"}, "x"),
+        ({"$defs": {"n": {"$anchor": "node", "type": "number"}},
+          "$dynamicRef": "#node"}, "x"),
+        ({"$defs": {"n": {"$dynamicAnchor": "node", "type": "number"}},
+          "$ref": "#node"}, "x"),
+    ]
+    return cases
+
+
 def main():
     rng = random.Random(43)
     cases = gen_cases(rng)
@@ -761,6 +823,8 @@ def main():
         cases = gen_cases_46(random.Random(46))
     if "--batch47" in sys.argv:
         cases = gen_cases_47(random.Random(47))
+    if "--batch48" in sys.argv:
+        cases = gen_cases_48(random.Random(48))
     lines = []
     n_msgs = 0
     for schema, doc in cases:
