@@ -39,12 +39,13 @@ def rand_case(rng):
         {"location": "http://example.org/x", "description": "l"}]}
         if rng.random() < 0.3 else {}]
     n = rng.randint(1, 3)
-    used = set()
+    used = []  # LIST, not set: next(iter(set)) was PYTHONHASHSEED-dependent
     for t in range(1, n + 1):
         name = rng.choice([f"Table {t}", f"a/b {t}", f"T{t}"])
         if rng.random() < 0.05 and used:
-            name = next(iter(used))  # duplicate -> short-circuit
-        used.add(name)
+            name = used[0]  # duplicate -> short-circuit (deterministic pick)
+        if name not in used:
+            used.append(name)
         doc = {"name": name, "description": "d",
                "keywords": [{"name": "reactions", "values": ["P P --> X"]}]}
         if rng.random() < 0.06:
