@@ -272,6 +272,29 @@ object JsonSchema {
       * (2020-12), `$id: "#name"` (draft-06/07), `id: "#name"` (draft-04) —
       * all three live-verified. Unknown anchors throw, like jsonschema's
       * NoSuchAnchor. */
+    /** SUBSCHEMA positions of a schema object — anchors register only at
+      * schema locations (referencing walks specification-defined
+      * subresources), so the anchor scans must NOT descend into data
+      * positions like `enum`/`const`/`default` values: an anchor-shaped
+      * object there is DATA, not a declaration (confirmed differentially —
+      * treating it as one silently under-validates). */
+    private val SingleSubschema = Set("items", "additionalProperties",
+      "additionalItems", "not", "if", "then", "else", "propertyNames",
+      "contains", "unevaluatedProperties", "unevaluatedItems")
+    private val MapOfSubschemas = Set("properties", "patternProperties",
+      "$defs", "definitions", "dependentSchemas")
+    private val ArrayOfSubschemas = Set("allOf", "anyOf", "oneOf", "prefixItems")
+    private def subschemaValues(o: JObject): Iterator[JValue] =
+      o.obj.iterator.flatMap {
+        case ("items", JArray(xs)) => xs.iterator // legacy tuple form
+        case ("dependencies", JObject(fs)) =>
+          fs.iterator.map(_._2).filter(_.isInstanceOf[JObject]) // schema form only
+        case (k, v) if SingleSubschema(k) => Iterator.single(v)
+        case (k, JObject(fs)) if MapOfSubschemas(k) => fs.iterator.map(_._2)
+        case (k, JArray(xs)) if ArrayOfSubschemas(k) => xs.iterator
+        case _ => Iterator.empty
+      }
+
     def findAnchor(j: JValue, name: String, draft: Int): Option[JValue] = {
       // at 2020-12 a $dynamicAnchor is ALSO resolvable statically ($ref
       // "#name" to it works — live-verified)
@@ -286,20 +309,19 @@ object JsonSchema {
             case _ => false
           }
           if (here) Some(o)
-          else o.obj.view.map(f => scan(f._2)).collectFirst { case Some(x) => x }
-        case JArray(xs) => xs.view.map(scan).collectFirst { case Some(x) => x }
+          else subschemaValues(o).map(scan).collectFirst { case Some(x) => x }
         case _ => None
       }
       scan(j)
     }
 
-    /** Node declaring `$dynamicAnchor: name` within a document, if any. */
+    /** Node declaring `$dynamicAnchor: name` at a SCHEMA position of the
+      * document, if any. */
     def findDynAnchor(j: JValue, name: String): Option[JValue] = {
       def scan(v: JValue): Option[JValue] = v match {
         case o: JObject =>
           if (o.obj.contains("$dynamicAnchor" -> JString(name))) Some(o)
-          else o.obj.view.map(f => scan(f._2)).collectFirst { case Some(x) => x }
-        case JArray(xs) => xs.view.map(scan).collectFirst { case Some(x) => x }
+          else subschemaValues(o).map(scan).collectFirst { case Some(x) => x }
         case _ => None
       }
       scan(j)
@@ -423,22 +445,24 @@ object JsonSchema {
           case _ => false
         }
         c.fallback = compileNode(staticNode, draft, this, doc)
-        if (c.isDynamic)
-          c.candidates = (("" -> root) +: store.toSeq).flatMap { case (u, dj) =>
+        if (c.isDynamic) {
+          // skip store entries that ARE the root under its $id: keyOf
+          // normalizes those refs to "", so a URI-keyed candidate could
+          // never match the scope — it would only duplicate the compile
+          val docs = ("" -> root) +:
+            store.toSeq.filterNot { case (u, _) => rootId.contains(u) }
+          c.candidates = docs.flatMap { case (u, dj) =>
             findDynAnchor(dj, name).map { node =>
-              val dDraft =
-                if (u.isEmpty) rootDraft
-                else dj match {
-                  case o: JObject if o.obj.exists(_._1 == "$schema") =>
-                    draftOf(o.obj.toMap)
-                  case _ => 2020 // $dynamicAnchor implies the modern draft
-                }
+              // SAME draft rule as docAndDraft: a candidate doc without
+              // $schema inherits the referring draft — the two paths must
+              // not compile one document under two dialects
+              val dDraft = docAndDraft(u, rootDraft, refDraft)._2
               u -> compileNode(node, dDraft, this, u)
             }
           }.toMap
-        drainRefs()
+        }
+        drainRefs() // each dyn resolution may enqueue new $refs
       }
-      drainRefs()
     }
   }
 

@@ -230,6 +230,38 @@ class JsonSchemaSpec extends AnyFunSuite {
       "unknown.yaml" -> "There is no schema defined for the 'undefined' data type."))
   }
 
+  test("RECURSIVE schema evaluates distributed through JsonSchemaCheck (cyclic graph serialization)") {
+    // the cyclic RefCell graph must survive the real task-serialization
+    // path, not just a driver-side ObjectOutputStream round-trip — run the
+    // Catalyst expression over a repartitioned DataFrame
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rec = JsonSchema.compile(
+      """{"$defs": {"node": {"type": "object",
+        |  "properties": {"v": {"type": "number"},
+        |    "kids": {"type": "array", "items": {"$ref": "#/$defs/node"}}},
+        |  "required": ["v"]}},
+        |"$ref": "#/$defs/node"}""".stripMargin)
+    val docs = Seq(
+      ("a.yaml", """{"v": 1, "kids": [{"v": 2}]}"""),
+      ("b.yaml", """{"v": 1, "kids": [{"kids": []}]}"""),
+      ("c.yaml", """{"v": "s"}"""))
+      .toDF("file", "json").repartition(3)
+    val out = graft.compile.CustomSchemas.violations(
+        docs.withColumn("schemaType",
+          org.apache.spark.sql.functions.lit("tree")),
+        "file", "json", "schemaType", Seq("tree" -> rec))
+      .orderBy("file", "seq").collect()
+      .map(r => (r.getString(0), r.getString(2)))
+    assert(out.toSeq === Seq(
+      "b.yaml" -> ("'v' is a required property in 'kids[0]' (expected: " +
+        "{'type': 'object', 'properties': {'v': {'type': 'number'}, " +
+        "'kids': {'type': 'array', 'items': {'$ref': '#/$defs/node'}}}, " +
+        "'required': ['v']})"),
+      "c.yaml" -> ("'s' is not of type 'number' in 'v' (expected: " +
+        "{'type': 'number'})")))
+  }
+
   test("dispatch on the doc's own 'type' key (data_file_validator.py:123-125)") {
     val spark = TestSpark.spark
     import spark.implicits._
