@@ -397,6 +397,34 @@ object SparkEntry {
     // ---- custom JSON-Schema validation (data_file_validator.py:117-132):
     // documents rendered to JSON and validated against a user schema
     // compiled to a Catalyst expression; messages in jsonschema grammar ----
+    // ---- J5b: RECURSIVE custom schema + unevaluatedProperties through the
+    // distributed expression path (round-4 surface: $ref cyclic graphs,
+    // unevaluated*) — deterministic JSON built from doc_id arithmetic,
+    // grouped to (message, n, doc range); golden-VALUES oracle ------------
+    "custom_schema_recursive" -> ((s, dir) => {
+      val schema = graft.spec.JsonSchema.compile(
+        """{"$defs": {"node": {"type": "object",
+           |  "properties": {"v": {"type": "number"},
+           |    "kids": {"type": "array", "items": {"$ref": "#/$defs/node"}}},
+           |  "required": ["v"], "unevaluatedProperties": false}},
+           |"$ref": "#/$defs/node"}""".stripMargin)
+      val d = col("doc_id")
+      val v = when(d % 3 === 0, lit("\"s\"")).otherwise((d % 7).cast("string"))
+      val kid = when(d % 5 === 0, lit("""{"v": 1, "extra": 2}"""))
+        .when(d % 7 === 0, lit("""{"kids": []}"""))
+        .otherwise(lit("""{"v": 3}"""))
+      val docs = s.read.parquet(t(dir, "documents"))
+        .select(d,
+          concat(lit("""{"v": """), v, lit(""", "kids": ["""), kid, lit("]}"))
+            .as("json"),
+          lit("tree").as("schemaType"))
+      graft.compile.CustomSchemas.violations(
+          docs, "doc_id", "json", "schemaType", Seq("tree" -> schema))
+        .groupBy(col("message"))
+        .agg(count(lit(1)).as("n"),
+          min(col("file")).as("min_doc"), max(col("file")).as("max_doc"))
+        .orderBy("message")
+    }),
     "custom_schema_docs" -> ((s, dir) => {
       val schema = graft.spec.JsonSchema.compile(
         """{"$schema": "http://json-schema.org/draft-04/schema#",
@@ -713,6 +741,31 @@ object SparkEntry {
         FROM m ORDER BY id""").replaceAll("\\s+", " ").trim,
       // jsonschema-grammar messages over the documents table: enum + minimum
       // violations in properties-walk order (lang before n_chars)
+      // the recursive-schema violations are pure doc_id arithmetic
+      // (d%3 -> string v, d%5 -> extra key, else d%7 -> missing v), so
+      // DuckDB derives counts + doc ranges live; messages are literals
+      // with doubled quotes
+      "custom_schema_recursive" -> {
+        val nodeRepr = "{''type'': ''object'', ''properties'': {''v'': " +
+          "{''type'': ''number''}, ''kids'': {''type'': ''array'', " +
+          "''items'': {''$ref'': ''#/$defs/node''}}}, ''required'': " +
+          "[''v''], ''unevaluatedProperties'': False}"
+        ("""WITH d AS (SELECT doc_id FROM documents)
+           |SELECT * FROM (
+           |  SELECT '''s'' is not of type ''number'' in ''v'' (expected: {''type'': ''number''})' AS message,
+           |    CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+           |  FROM d WHERE doc_id % 3 = 0
+           |  UNION ALL
+           |  SELECT '''v'' is a required property in ''kids[0]'' (expected: NODE)' ,
+           |    CAST(count(*) AS BIGINT), min(doc_id), max(doc_id)
+           |  FROM d WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0
+           |  UNION ALL
+           |  SELECT 'Unevaluated properties are not allowed (''extra'' was unexpected) in ''kids[0]'' (expected: NODE)',
+           |    CAST(count(*) AS BIGINT), min(doc_id), max(doc_id)
+           |  FROM d WHERE doc_id % 5 = 0
+           |) ORDER BY message""".stripMargin
+          .replace("NODE", nodeRepr).replaceAll("\\s+", " ").trim)
+      },
       "custom_schema_docs" -> ("""
         WITH v AS (
           SELECT doc_id,
