@@ -674,7 +674,13 @@ object JsonSchema {
         repr = PyRepr.render(j),
         hasSchemaKey = f0.contains("$schema"),
         keyOrder = o.obj.map(_._1))
-    case JBool(true) => compileNode(JObject(), draft, ctx, curDoc)
+    case JBool(true) =>
+      // the boolean schema `true`: everything validates; its Python repr is
+      // `True`, which surfaces inside PARENT messages (e.g. oneOf's "valid
+      // under each of {}, True" — fuzz-caught). hasSchemaKey=true because
+      // only DICT subschemas get the "(expected: ...)" suffix.
+      compileNode(JObject(), draft, ctx, curDoc).copy(
+        repr = "True", hasSchemaKey = true)
     case JBool(false) =>
       // the boolean schema `false`: nothing validates ("False schema does
       // not allow <instance>"). hasSchemaKey=true because the hepdata
