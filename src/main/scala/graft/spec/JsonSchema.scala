@@ -226,8 +226,11 @@ object JsonSchema {
     * (worklist), so ref CYCLES compile to a finite cyclic graph. `store`
     * maps absolute URIs to raw schema documents (SchemaLoader/SchemaStore
     * can feed it); same-document refs (`#`, `#/a/b`) resolve into the
-    * enclosing document. Unresolvable refs throw at compile time — loud,
-    * like jsonschema's Unresolvable at first use. */
+    * enclosing document. Unresolvable refs throw at COMPILE time — louder
+    * than jsonschema, which resolves lazily and never notices a broken ref
+    * that no document happens to evaluate. Deliberate divergence: at 10^12
+    * docs a broken ref should fail before the job starts, not mid-run on
+    * the first document that reaches it. */
   private final class RefCtx(val root: JValue, val store: Map[String, JValue],
       base: Option[String] = None) {
     import scala.collection.mutable

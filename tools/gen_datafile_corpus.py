@@ -329,10 +329,14 @@ def rand_qualifiers(rng):
 
 
 def main():
-    rng = random.Random(46)
+    # optional [n_docs seed] args for one-off FUZZ runs; defaults reproduce
+    # the checked-in golden byte-identically
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 46
+    rng = random.Random(seed)
     out = []
     n_msgs = 0
-    for c in range(300):
+    for c in range(n_docs):
         doc = rand_doc(rng)
         name = f"data_{c:04d}.yaml"
         v = DataFileValidator()
@@ -342,7 +346,7 @@ def main():
         out.append(json.dumps({
             "file": name, "row": doc_to_row(name, doc), "messages": msgs}))
     sys.stdout.write("\n".join(out) + "\n")
-    print(f"300 docs, {n_msgs} messages", file=sys.stderr)
+    print(f"{n_docs} docs, {n_msgs} messages", file=sys.stderr)
 
 
 if __name__ == "__main__":

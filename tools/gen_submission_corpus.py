@@ -172,10 +172,14 @@ def rand_stream(rng):
 
 
 def main():
-    rng = random.Random(45)
+    # optional [n_streams seed] args for one-off FUZZ runs; defaults
+    # reproduce the checked-in golden byte-identically
+    n_streams = int(sys.argv[1]) if len(sys.argv) > 1 else 240
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 45
+    rng = random.Random(seed)
     out = []
     n_msgs = 0
-    for c in range(240):
+    for c in range(n_streams):
         docs = rand_stream(rng)
         name = f"sub_{c:04d}.yaml"
         v = SubmissionFileValidator()
@@ -187,7 +191,7 @@ def main():
             "docs": [doc_to_row(d) for d in docs],
             "messages": msgs}))
     sys.stdout.write("\n".join(out) + "\n")
-    print(f"240 streams, {n_msgs} messages", file=sys.stderr)
+    print(f"{n_streams} streams, {n_msgs} messages", file=sys.stderr)
 
 
 if __name__ == "__main__":
