@@ -41,6 +41,34 @@ class EngineInvariantsSpec extends AnyFunSuite {
     assert(run(pages) === run(pages.repartition(1)))
   }
 
+  test("verdictsSingleScan ≡ verdicts-from-violations on random specs and data") {
+    // the two formulations (one-scan per-row error counts vs aggregate over
+    // materialized violations + distinct universe) must agree EXACTLY for
+    // any spec/data — the driver's a7 query uses the former, the page
+    // pipeline the latter
+    import spark.implicits._
+    val rows = Seq.fill(4000)((
+      rnd.nextInt(20),
+      if (rnd.nextBoolean()) s"https://h${rnd.nextInt(40)}.org/p" else
+        (if (rnd.nextInt(5) == 0) null else s"ftp://x${rnd.nextInt(9)}"),
+      if (rnd.nextInt(7) == 0) null else s"t${rnd.nextInt(200)}"))
+      .toDF("part_id", "url", "text").repartition(9)
+    val spec = TableSpec("t", "part_id", Seq("url"), Seq(
+      NotNull("url"),
+      MatchesRegex("url", "^https?://"),
+      NotNull("text"),
+      MaxLen("text", 3)))
+    val fast = Passes.verdictsSingleScan(rows, "part_id",
+        ConstraintCompiler.errorCount(spec))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getBoolean(2))).toSet
+    val slow = Passes.verdicts(
+        ConstraintCompiler.violations(spec, rows), "part_id",
+        rows.select(col("part_id")))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(fast === slow)
+    assert(fast.nonEmpty && fast.exists(!_._3) && fast.map(_._1).size === 20)
+  }
+
   test("numeric-string rule matches a Scala mirror over a generated corpus") {
     import spark.implicits._
     val candidates = Seq("", "0", "12", "-3.5", "1e5", "2.3E-7", "50%", "0.0%",

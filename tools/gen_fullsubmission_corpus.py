@@ -190,12 +190,16 @@ def tables_for(case_dir, stream):
 
 
 def main():
-    rng = random.Random(47)
+    # optional [n_cases seed] args for one-off FUZZ runs; defaults
+    # reproduce the checked-in golden byte-identically
+    n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 120
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 47
+    rng = random.Random(seed)
     root = tempfile.mkdtemp(prefix="graft_fullsub_")
     out = []
     n_msgs = 0
     try:
-        for c in range(120):
+        for c in range(n_cases):
             case = f"case_{c:03d}"
             case_dir = os.path.join(root, case)
             stream = rand_case(rng, case_dir)
@@ -217,7 +221,7 @@ def main():
     finally:
         shutil.rmtree(root, ignore_errors=True)
     sys.stdout.write("\n".join(out) + "\n")
-    print(f"120 cases, {n_msgs} messages", file=sys.stderr)
+    print(f"{n_cases} cases, {n_msgs} messages", file=sys.stderr)
 
 
 if __name__ == "__main__":
