@@ -1470,7 +1470,9 @@ object PyRepr {
     if (d.isNaN) return "nan"
     if (d.isPosInfinity) return "inf"
     if (d.isNegInfinity) return "-inf"
-    if (d == d.floor && !d.isInfinite && math.abs(d) < 1e16)
+    if (d == 0.0) { // repr(-0.0) keeps the sign
+      if (1.0 / d < 0) "-0.0" else "0.0"
+    } else if (d == d.floor && !d.isInfinite && math.abs(d) < 1e16)
       s"${d.toLong}.0"
     else {
       val s = java.lang.Double.toString(d)
