@@ -141,13 +141,19 @@ object Bench {
     val scaling =
       s"""{"docs":$benchDocs,"levels":$levelJson,"efficiency":$effJson,""" +
         s""""note":"2-to-8 reflects cluster-style scaling; 8-to-32 includes the single-box memory-bandwidth ceiling"}"""
-    println(
+    val json =
       s"""{"metric":"validated docs/sec (full page pipeline, local[$cpus])",""" +
         s""""value":${"%.0f".format(dpsHi)},"unit":"docs/sec",""" +
         s""""queries":$qs,"sf":"$sfDir",""" +
         s""""query_reps":$qreps,""" +
         s""""query_noise_median_rel_spread":${"%.3f".format(noiseMedian)},""" +
         s""""total_query_sec":${"%.2f".format(totalQuerySec)},""" +
-        s""""scaling":$scaling}""")
+        s""""scaling":$scaling}"""
+    println(json)
+    // also write to a file: sbt's "[info] " stdout prefix breaks the
+    // driver's JSON-line parser (BENCH_r04 carried parsed:null)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
   }
 }

@@ -17,8 +17,45 @@ import graft.testdata.PagesGen
   *   graft.Cli --pages <parquet> [--expected <parquet>] [--spec <spec.json>]
   *             [--manifest <path> --snapshot <id>] [--drift <sqlExpr>]
   *             [--max-violations <n>] [--synthetic <n>:<profile>]
-  */
+  *   graft.Cli --dir <submission dir> | --file <single .yaml[.gz]>
+  *
+  * `--dir`/`--file` run the RAW-YAML path (cli.py:12-30 byte-for-byte:
+  * header, print_valid_files in SchemaType order, per-file message blocks,
+  * exit 1 when invalid), with one documented delta: unreferenced-file
+  * blocks print in name order, where the reference follows os.listdir's
+  * filesystem-specific order. */
 object Cli {
+
+  /** hepdata-validate transcript for a raw directory or single file.
+    * Returns (lines, exitCode). */
+  def rawTranscript(spark: SparkSession, mode: String, target: String): (Seq[String], Int) = {
+    val res = mode match {
+      case "dir" => graft.ingest.RawSubmission.validateDir(spark, target)
+      case _ => graft.ingest.RawSubmission.validateFile(spark, target)
+    }
+    val collected = res.messages.orderBy("file", "seq").collect()
+      .map(r => (r.getAs[String]("file"),
+        (r.getAs[String]("level"), r.getAs[String]("message"))))
+    val byFile = collected.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val valid = collected.isEmpty
+    val out = Seq.newBuilder[String]
+    out += (if (valid) s"$target is valid." else s"ERROR: $target is invalid.")
+    // print_valid_files (ref :47-55), SchemaType declaration order
+    if (mode == "dir") {
+      if (res.subValid)
+        out += s"\t $target/submission.yaml is valid HEPData submission YAML."
+      res.validDataFiles.foreach(f =>
+        out += s"\t $target/$f is valid HEPData data YAML.")
+    } else if (res.subValid) {
+      out += s"\t ${res.fileOrder.head} is valid HEPData single file YAML."
+    }
+    res.fileOrder.foreach { f =>
+      byFile.getOrElse(f, Array.empty[(String, String)]).foreach {
+        case (lvl, m) => out += s"\t $lvl - $m"
+      }
+    }
+    (out.result(), if (valid) 0 else 1)
+  }
   def main(args: Array[String]): Unit = {
     val code = run(args)
     if (code != 0) sys.exit(code)
@@ -41,6 +78,15 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    // raw-YAML submission modes short-circuit the page-table pipeline
+    (opts.get("dir").map("dir" -> _) orElse opts.get("file").map("file" -> _))
+      .foreach { case (mode, tgt) =>
+        val (lines, code) = rawTranscript(spark, mode, tgt)
+        lines.foreach(println)
+        if (ownSession) spark.stop()
+        return code
+      }
 
     val target = opts.getOrElse("pages", opts.getOrElse("synthetic", "20000:dirty"))
     val pages = opts.get("pages") match {

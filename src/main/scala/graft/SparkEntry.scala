@@ -284,6 +284,16 @@ object SparkEntry {
       graft.hep.HepDataRules.violations(graft.hep.HepFixtures.all.toDS().toDF())
         .orderBy("file", "seq")
     }),
+    // raw-YAML production path: actual YAML bytes parsed on executors
+    // (PyYamlParse → YamlIngest) then the same nested rules — the
+    // ingestion surface the 540-case differential corpus pins, oracle-
+    // gated end-to-end here
+    "raw_yaml_violations" -> ((s, dir) => {
+      import s.implicits._
+      val rows = s.createDataset(graft.ingest.RawYamlFixtures.docs)
+        .map { case (f, y) => graft.ingest.YamlIngest.parseDataFile(f, y) }
+      graft.hep.HepDataRules.violations(rows.toDF()).orderBy("file", "seq")
+    }),
     // nested-rule throughput at scale (synthetic corpus; rows-only check)
     "hep_scaled_50k" -> ((s, dir) => {
       graft.hep.HepDataRules.violations(graft.testdata.HepGen.rows(s, 50000))
@@ -701,6 +711,12 @@ object SparkEntry {
       // reference fixtures (also pinned by HepDataRulesSpec); stored as a
       // resource — 21 rows of VALUES
       "hep_violations" -> resourceSql("hep_violations"),
+      // golden-constant oracle: raw YAML bytes → executor-side ingester →
+      // rules; messages are byte-pinned (generated by
+      // tools/pin_values_oracle.py from a verified run; the ingestion
+      // semantics themselves are pinned by the 540-case differential
+      // corpora in YamlIngestConformanceSpec / RawSubmissionConformanceSpec)
+      "raw_yaml_violations" -> resourceSql("raw_yaml_violations"),
       // golden-VALUES pins for the computations that are genuinely not
       // SQL-expressible (LSH/IVF candidate generation, SimHash signatures,
       // KLL drift verdicts): output on the seeded test data is a

@@ -283,7 +283,7 @@ object FullSubmission {
     * buffer — comfortably one task (FullSubmissionSpec pins a
     * many-thousand-message file through this path). Revisit only if the
     * size cap is ever lifted. */
-  private def ordered(messages: DataFrame): DataFrame = {
+  private[graft] def ordered(messages: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("file"))
       .orderBy(col("k0"), col("k1"), col("k2"), col("k3"), col("message"))

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.hep.{HepRow, SubFile}
+import graft.ingest._
+
+/** End-to-end raw-directory ingestion differential: the full-submission
+  * corpus now carries every materialized file's bytes, so each of the 120
+  * reference-validated directories is REBUILT on disk and pushed through
+  * the real production path — RawSubmission.validateDir (Hadoop-FS
+  * listing, executor-side PyYamlParse, HepDataRules, FullSubmission
+  * joins) — and must reproduce (a) the intermediate files/hepRows/sub
+  * tables the Python generators computed and (b) every per-file
+  * (level, message) sequence the live reference emitted. */
+class RawSubmissionConformanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private implicit val fmts: Formats = DefaultFormats
+
+  private case class RawFile(fname: String, kind: String, data: String)
+  private case class FileRow(fname: String, size: Long, parseable: Boolean,
+      parseError: Option[String])
+
+  private def materialize(dir: java.nio.file.Path, rf: RawFile): Unit = {
+    val p = dir.resolve(rf.fname)
+    rf.kind match {
+      case "text" => Files.write(p, rf.data.getBytes("UTF-8"))
+      case "b64" => Files.write(p, java.util.Base64.getDecoder.decode(rf.data))
+      case "big" =>
+        val raf = new java.io.RandomAccessFile(p.toFile, "rw")
+        try raf.setLength(rf.data.toLong) finally raf.close()
+    }
+  }
+
+  test("120 raw directories ingest and validate byte-exact") {
+    import spark.implicits._
+    val lenient = new com.fasterxml.jackson.databind.ObjectMapper()
+    lenient.enable(com.fasterxml.jackson.core.json.JsonReadFeature
+      .ALLOW_NON_NUMERIC_NUMBERS.mappedFeature())
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/golden/fullsubmission_conformance.jsonl"),
+      "UTF-8")
+    val cases = try src.getLines().map(l =>
+      JsonMethods.fromJsonNode(lenient.readTree(l))).toList
+    finally src.close()
+    assert(cases.size === 120)
+
+    val root = Files.createTempDirectory("graft_rawsub_")
+    var nMsgs = 0
+    val bad = try cases.flatMap { j =>
+      val name = (j \ "file").extract[String]
+      val dir = root.resolve(name)
+      Files.createDirectory(dir)
+      (j \ "rawFiles").extract[List[RawFile]].foreach(materialize(dir, _))
+
+      val expSub = (j \ "sub").extract[SubFile]
+      val expFiles = (j \ "files").extract[List[FileRow]]
+        .map(f => (f.fname, f.size, f.parseable, f.parseError))
+      val expHep = (j \ "hepRows").extract[List[HepRow]].sortBy(_.file)
+      val expMsgs = (j \ "messages") match {
+        case JObject(fs) => fs.map { case (f, ms) =>
+          f -> ms.extract[List[List[String]]].map(p => (p(0), p(1)))
+        }.toMap
+        case _ => Map.empty[String, List[(String, String)]]
+      }
+      nMsgs += expMsgs.valuesIterator.map(_.size).sum
+
+      // intermediate tables
+      val listing = new java.io.File(dir.toString).listFiles()
+        .filter(_.isFile).map(f => (f.getName, f.length())).sortBy(_._1).toSeq
+      val parsed = RawSubmission.parsedFiles(spark, dir.toString, listing)
+        .collect().sortBy(_.fname)
+      val gotFiles = parsed.map(f => (f.fname, f.size, f.parseable, f.parseError)).toList
+      val gotHep = parsed.flatMap(_.hepRow).sortBy(_.file).toList
+      val subText = new String(
+        Files.readAllBytes(dir.resolve("submission.yaml")), "UTF-8")
+      val gotSub = YamlIngest.parseSubmission("submission.yaml", subText)
+
+      // end product
+      val got = RawSubmission.validateDir(spark, dir.toString)
+      val gotMsgs = got.messages.orderBy("file", "seq").collect()
+        .map(r => (r.getAs[String]("file"),
+          (r.getAs[String]("level"), r.getAs[String]("message"))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toList).toMap
+
+      val problems = List(
+        (gotFiles != expFiles) -> s"files: $gotFiles vs $expFiles",
+        (gotHep != expHep) -> "hepRows differ",
+        (gotSub != expSub) -> s"sub differs",
+        (gotMsgs != expMsgs) -> s"messages: $gotMsgs vs $expMsgs"
+      ).collect { case (true, m) => m }
+      if (problems.isEmpty) None else Some((name, problems))
+    } finally {
+      // best-effort cleanup
+      import scala.util.Try
+      Try(org.apache.commons.io.FileUtils.deleteDirectory(root.toFile))
+    }
+    bad.take(3).foreach { case (n, ps) =>
+      info(s"MISMATCH $n"); ps.foreach(p => info(s"  ${p.take(2000)}"))
+    }
+    assert(bad.isEmpty, s"${bad.size} of 120 directories mismatch")
+    info(s"120 raw directories, $nMsgs reference messages replayed end-to-end")
+    assert(nMsgs > 250)
+  }
+}

@@ -15,7 +15,13 @@ Excluded on purpose:
    dependent): the fuzzer simply never emits schema-form addProps.
  - schemas check_schema rejects (SchemaError cases are skipped).
 
-Usage: fuzz_jsonschema.py <n_cases> <seed> > cases.jsonl
+Usage: fuzz_jsonschema.py <n_cases> <seed> [profile] > cases.jsonl
+
+Profiles: "broad" (default, round-4 behavior, byte-stable for a given
+seed) and "refheavy" — the round-5 campaign profile weighting the newest
+surface: $ref chains between $defs (cycles allowed), plain-name $anchor
+refs ("#name", incl. the draft-07 "$id" spelling), $dynamicRef, and
+unevaluatedProperties/Items interacting with combinators.
 """
 import json
 import random
@@ -55,7 +61,8 @@ def rand_value(rng, depth=0):
             for _ in range(rng.randint(0, 3))}
 
 
-def rand_schema(rng, draft, depth=0, defs=None, allow_ref=True):
+def rand_schema(rng, draft, depth=0, defs=None, allow_ref=True,
+                profile="broad"):
     """A random schema dict using keywords valid at `draft`."""
     if depth > 3:
         return rng.choice([{"type": "number"}, {"type": "string"}, {}, True])
@@ -64,7 +71,7 @@ def rand_schema(rng, draft, depth=0, defs=None, allow_ref=True):
     kws = []
 
     def sub():
-        return rand_schema(rng, draft, depth + 1, defs, allow_ref)
+        return rand_schema(rng, draft, depth + 1, defs, allow_ref, profile)
 
     pool = ["type", "enum", "minimum", "maximum", "pattern", "maxLength",
             "minLength", "required", "properties", "items", "minItems",
@@ -84,6 +91,14 @@ def rand_schema(rng, draft, depth=0, defs=None, allow_ref=True):
         pool += ["ref", "ref"]
         if getattr(defs, "has_dyn_anchor", False):
             pool += ["dynref"]
+        if profile == "refheavy":
+            pool += ["ref"] * 4
+            if getattr(defs, "has_dyn_anchor", False):
+                pool += ["dynref"] * 2
+            if getattr(defs, "anchored", None):
+                pool += ["anchorref"] * 3
+    if profile == "refheavy" and modern:
+        pool += ["unevaluatedProps", "unevaluatedItems", "ifthen"]
 
     schema = {}
     for kw in rng.sample(pool, k=min(len(pool), rng.randint(1, 3))):
@@ -179,10 +194,16 @@ def rand_schema(rng, draft, depth=0, defs=None, allow_ref=True):
         elif kw == "dynref":
             if defs and modern:
                 return {"$dynamicRef": "#fuzzanchor"}
+        elif kw == "anchorref":
+            anchored = getattr(defs, "anchored", [])
+            if anchored:
+                return {"$ref": "#" + rng.choice(anchored)}
     return schema
 
 
-def gen_case(rng):
+def gen_case(rng, profile="broad"):
+    if profile == "refheavy":
+        return gen_case_refheavy(rng)
     draft = rng.choice(DRAFTS)
     modern = draft is None or "draft/20" in draft
     n_defs = rng.randint(0, 2)
@@ -210,12 +231,72 @@ def gen_case(rng):
     return root, doc
 
 
+class _Names(list):
+    pass
+
+
+def gen_case_refheavy(rng):
+    """$ref/$anchor/$dynamicRef/unevaluated*-weighted generation: chained
+    $defs (cycles allowed — the reference handles cyclic refs lazily, we
+    compile a cyclic RefCell graph), plain-name anchors in both the
+    modern $anchor and draft-07 "$id": "#name" spellings, and one
+    $dynamicAnchor most of the time."""
+    draft = rng.choice([None,
+                        "https://json-schema.org/draft/2020-12/schema",
+                        "http://json-schema.org/draft-07/schema#"])
+    modern = draft is None or "draft/20" in draft
+    n_defs = rng.randint(1, 3)
+    def_names = [f"d{i}" for i in range(n_defs)]
+    defs = {}
+    anchored = []
+    for i, name in enumerate(def_names):
+        # earlier defs only — a DAG. True ref cycles make the reference
+        # recurse schema-side without consuming the document; the
+        # RecursionError surfaces inside jsonschema's Rust rpds layer and
+        # ABORTS the process (uncatchable panic), so they can't be
+        # differential cases. (graft compiles cyclic graphs fine; its
+        # cyclic coverage lives in the curated recursive-$ref corpus.)
+        visible = _Names(def_names[:i])
+        visible.has_dyn_anchor = False
+        visible.anchored = list(anchored)
+        body = rand_schema(rng, draft, depth=2,
+                           defs=visible if visible else None,
+                           profile="refheavy")
+        if not isinstance(body, dict):
+            body = {"type": "number"}
+        if rng.random() < 0.4:
+            aname = f"anch{i}"
+            if modern:
+                body = {"$anchor": aname, **body}
+            else:
+                body = {"$id": f"#{aname}", **body}
+            anchored.append(aname)
+        defs[name] = body
+    has_dyn = False
+    if modern and rng.random() < 0.6:
+        first = def_names[0]
+        defs[first] = {"$dynamicAnchor": "fuzzanchor", **defs[first]}
+        has_dyn = True
+    names = _Names(def_names)
+    names.has_dyn_anchor = has_dyn
+    names.anchored = anchored
+    root = rand_schema(rng, draft, depth=0, defs=names, profile="refheavy")
+    if not isinstance(root, dict):
+        root = {"type": "object"}
+    root[("$defs" if modern else "definitions")] = defs
+    if draft is not None:
+        root = {"$schema": draft, **root}
+    doc = rand_value(rng)
+    return root, doc
+
+
 def main():
     n, seed = int(sys.argv[1]), int(sys.argv[2])
+    profile = sys.argv[3] if len(sys.argv) > 3 else "broad"
     rng = random.Random(seed)
     emitted = skipped = 0
     while emitted < n:
-        schema, doc = gen_case(rng)
+        schema, doc = gen_case(rng, profile)
         v = Probe()
         v.messages = {}
         try:

@@ -12,6 +12,8 @@ import random
 import sys
 
 sys.path.insert(0, "/root/reference")
+import yaml  # noqa: E402
+from hepdata_validator import YamlLoader  # noqa: E402
 from hepdata_validator.data_file_validator import DataFileValidator  # noqa: E402
 
 
@@ -343,8 +345,13 @@ def main():
         v.validate(file_path=name, data=doc)
         msgs = [m.message for m in v.get_messages().get(name, [])]
         n_msgs += len(msgs)
+        # raw YAML for the Scala ingester differential: sort_keys=False so
+        # the loaded dict order (hence instanceReprs) matches `doc`
+        raw = yaml.safe_dump(doc, sort_keys=False)
+        assert yaml.load(raw, Loader=YamlLoader) == doc, name
         out.append(json.dumps({
-            "file": name, "row": doc_to_row(name, doc), "messages": msgs}))
+            "file": name, "row": doc_to_row(name, doc), "messages": msgs,
+            "yaml": raw}))
     sys.stdout.write("\n".join(out) + "\n")
     print(f"{n_docs} docs, {n_msgs} messages", file=sys.stderr)
 

@@ -16,6 +16,7 @@ over it, and the JSONL line carries everything the graft side needs:
 Row translations reuse gen_submission_corpus / gen_datafile_corpus, so raw
 tokens are rendered once, Python-side. Deterministic: seed 47.
 """
+import base64
 import json
 import os
 import random
@@ -150,6 +151,28 @@ def rand_case(rng, case_dir):
     return stream
 
 
+def raw_files_for(case_dir):
+    """Embed each materialized file for the Scala raw-ingestion replay:
+    text when UTF-8+JSON-safe, else base64; the >10MB sparse file as a
+    size-only descriptor."""
+    out = []
+    for fname in sorted(os.listdir(case_dir)):
+        p = os.path.join(case_dir, fname)
+        size = os.path.getsize(p)
+        if size > SIZE_LIMIT:
+            out.append({"fname": fname, "kind": "big", "data": str(size)})
+            continue
+        with open(p, "rb") as fh:
+            b = fh.read()
+        try:
+            t = b.decode("utf-8")
+            out.append({"fname": fname, "kind": "text", "data": t})
+        except UnicodeDecodeError:
+            out.append({"fname": fname, "kind": "b64",
+                        "data": base64.b64encode(b).decode("ascii")})
+    return out
+
+
 def tables_for(case_dir, stream):
     """docs/files/hepRows tables for the graft side."""
     docs = []
@@ -217,7 +240,7 @@ def main():
                 "file": case, "sub": {"file": "submission.yaml",
                                       "docs": sub_rows},
                 "docs": docs, "files": files, "hepRows": hep_rows,
-                "messages": msgs}))
+                "messages": msgs, "rawFiles": raw_files_for(case_dir)}))
     finally:
         shutil.rmtree(root, ignore_errors=True)
     sys.stdout.write("\n".join(out) + "\n")

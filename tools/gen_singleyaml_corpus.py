@@ -69,8 +69,9 @@ def main():
             os.makedirs(case_dir)
             os.chdir(case_dir)
             stream = rand_case(rng)
+            raw = yaml.safe_dump_all(stream)
             with open(case, "w") as f:
-                yaml.safe_dump_all(stream, f)
+                f.write(raw)
             # capture inline data BEFORE the reference pops it
             hep_rows = []
             for doc in stream:
@@ -103,7 +104,8 @@ def main():
             out.append(json.dumps({
                 "file": case,
                 "sub": {"file": case, "docs": sub_rows},
-                "docs": docs, "hepRows": hep_rows, "messages": msgs}))
+                "docs": docs, "hepRows": hep_rows, "messages": msgs,
+                "yaml": raw}))
             os.chdir(cwd)
     finally:
         os.chdir(cwd)

@@ -17,6 +17,8 @@ import random
 import sys
 
 sys.path.insert(0, "/root/reference")
+import yaml  # noqa: E402
+from hepdata_validator import YamlLoader  # noqa: E402
 from hepdata_validator.submission_file_validator import SubmissionFileValidator  # noqa: E402
 
 NO_LIC = {"present": False, "isNull": False, "value": None, "isString": True}
@@ -186,10 +188,13 @@ def main():
         v.validate(file_path=name, data=iter(docs))
         msgs = [m.message for m in v.get_messages().get(name, [])]
         n_msgs += len(msgs)
+        raw = yaml.safe_dump_all(docs, sort_keys=False)
+        assert list(yaml.load_all(raw, Loader=YamlLoader)) == docs, name
         out.append(json.dumps({
             "file": name,
             "docs": [doc_to_row(d) for d in docs],
-            "messages": msgs}))
+            "messages": msgs,
+            "yaml": raw}))
     sys.stdout.write("\n".join(out) + "\n")
     print(f"{n_streams} streams, {n_msgs} messages", file=sys.stderr)
 
