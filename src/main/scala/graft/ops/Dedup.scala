@@ -98,13 +98,27 @@ object Dedup {
       case Some(o) => grouped.observe(o, metrics.head, metrics.tail: _*)
       case None => grouped.observe("graft.bucket_pairs", metrics.head, metrics.tail: _*)
     }
-    observed
+    // Pair generation by bucket-key SELF-JOIN over the exploded kept ids,
+    // not an in-row quadratic array: a 1000-member bucket as one row means
+    // a 499,500-struct array materialized by an INTERPRETED HigherOrder-
+    // Function inside a single task (measured 250 s for the simhash family
+    // at a 10× template-heavy corpus — BENCH.md round 5); the join form is
+    // whole-stage-codegen'd, streams pairs, spills, and AQE splits skewed
+    // bucket keys across tasks (same 35× headroom a real cluster needs).
+    // (The probe side joins the RAW band rows, not a second copy of the
+    // aggregate: the Observation node must appear exactly once in the
+    // plan, and oversized buckets can't leak in — their keys don't exist
+    // on the kept side.)
+    val kept = observed
       .where(col("b.n").between(2, maxBucket))
-      .select(col("b.ids").as("ids"))
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b")).distinct()
+      .select(col("band"), col("band_hash"), col("b.ids").as("ids"))
+      .select(col("band"), col("band_hash"), explode(col("ids")).as("id_a"))
+    kept
+      .join(bands.select(col("band"), col("band_hash"), col("id").as("id_b")),
+        Seq("band", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
   }
 
   /** Side output: the (band, band_hash, bucket_size) cells that
