@@ -88,6 +88,12 @@ object ScaleProbe {
       report("embedding", obs, n, sec)
     }
     locally {
+      val obs = Observation()
+      val (n, sec) = timed(graft.ops.Dedup.embeddingDedupAuto(
+        emb, "vec_id", "embedding", obs = Some(obs)).count())
+      report("embedding_auto", obs, n, sec)
+    }
+    locally {
       val (n, sec) = timed(graft.ops.Dedup.exact(
         docs, "doc_id", "text").count())
       println(f"[scale] exact            $sec%7.2f s  groups=$n")

@@ -251,4 +251,28 @@ object Dedup {
         Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** [[embeddingDedup]] with the LSH geometry SIZED FROM THE DATA instead
+    * of fixed: bucket granularity is a density knob (planesPerTable p
+    * gives 2^p buckets/table, so per-bucket size — and the verify
+    * quadratic — grows linearly with corpus density at fixed p; measured
+    * 10.9 s → 62.4 s from 10× to 20× in BENCH.md round 5). One cheap
+    * count sizes p ≈ log2(n/targetBucket), then nTables comes from the
+    * hyperplane collision model so recall at `threshold` stays ≥
+    * `recallTarget`: P(table hit) = (1 − acos(θ)/π)^p, tables =
+    * ⌈ln(1−target)/ln(1−P)⌉. */
+  def embeddingDedupAuto(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, targetBucket: Int = 64,
+      recallTarget: Double = 0.98, dim: Int = 64, maxBucket: Int = 1000,
+      obs: Option[Observation] = None): DataFrame = {
+    val n = math.max(1L, emb.count())
+    val planes = math.max(8,
+      math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt)
+    val pPlane = 1.0 - math.acos(threshold) / math.Pi
+    val pTable = math.pow(pPlane, planes)
+    val tables = math.min(32, math.max(4,
+      math.ceil(math.log1p(-recallTarget) / math.log1p(-pTable)).toInt))
+    embeddingDedup(emb, idCol, vecCol, threshold, tables, planes, dim,
+      maxBucket, obs)
+  }
 }

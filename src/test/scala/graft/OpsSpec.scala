@@ -94,6 +94,18 @@ class OpsSpec extends AnyFunSuite {
     (0 until 5).foreach(i => assert(pairs.contains((i.toLong, i + 10000L))))
   }
 
+  test("auto-sized embedding dedup keeps the planted pairs (geometry from data)") {
+    // embeddingDedupAuto picks planes from n/targetBucket and tables from
+    // the hyperplane collision model; on the test corpus it must find the
+    // same planted near-identical pairs the fixed geometry finds
+    val planted = emb.where(col("vec_id") < 5)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    val pairs = Dedup.embeddingDedupAuto(emb.unionByName(planted), "vec_id",
+      "embedding", threshold = 0.999).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach(i => assert(pairs.contains((i.toLong, i + 10000L))))
+  }
+
   test("signature expressions participate in whole-stage codegen") {
     graft.sketch.SignatureExprs.register(spark)
     val df = docs.selectExpr("minhash_sig(split(text, '\\\\s+'), 32, 3) AS m",
