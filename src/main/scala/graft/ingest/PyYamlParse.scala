@@ -44,7 +44,9 @@ object PyYamlParse {
     "^(?:yes|Yes|YES|no|No|NO|true|True|TRUE|false|False|FALSE|on|On|ON|off|Off|OFF)$".r
   private val FloatRe =
     ("^(?:[-+]?(?:[0-9][0-9_]*)\\.[0-9_]*(?:[eE][-+][0-9]+)?" +
-      "|\\.[0-9_]+(?:[eE][-+][0-9]+)?" +
+      // leading-dot form needs a DIGIT first: '._00' is a string
+      // (fuzz-caught, seed 71)
+      "|\\.[0-9][0-9_]*(?:[eE][-+][0-9]+)?" +
       "|[-+]?[0-9][0-9_]*(?::[0-5]?[0-9])+\\.[0-9_]*" +
       "|[-+]?\\.(?:inf|Inf|INF)" +
       "|\\.(?:nan|NaN|NAN))$").r
@@ -290,6 +292,15 @@ object PyYamlParse {
       case _ if context == "while parsing a block collection" &&
           s.startsWith("expected <block end>") =>
         "did not find expected '-' indicator"
+      case _ if context == "while parsing a block mapping" &&
+          s.startsWith("expected <block end>") =>
+        "did not find expected key"
+      case _ if s.startsWith("expected '<document start>'") =>
+        "did not find expected <document start>"
+      case "while scanning a double-quoted scalar" =>
+        "while parsing a quoted scalar"
+      case _ if s.startsWith("found unknown escape character") =>
+        "found unknown escape character"
       case ExpectedTokenRe(what)
           if what.startsWith("',' or ") => s"did not find expected $what"
       case other => other
@@ -316,8 +327,15 @@ object PyYamlParse {
     }
     if (e.getProblem != null) {
       sb.append(mapPhrase(e.getProblem, e.getContext))
-      if (e.getProblemMark != null)
-        sb.append('\n').append(renderMark(e.getProblemMark, name))
+      if (e.getProblemMark != null) {
+        // libyaml marks the offending ESCAPE char; snakeyaml the char after
+        val shift =
+          if (e.getProblem.startsWith("found unknown escape character")) -1
+          else 0
+        val m = e.getProblemMark
+        sb.append('\n').append(
+          s"""  in "$name", line ${m.getLine + 1}, column ${m.getColumn + 1 + shift}""")
+      }
     }
     sb.toString
   }
@@ -460,7 +478,23 @@ object PyYamlParse {
         if (!inProgress.add(m)) PRecursive(inSeq = false)
         else try {
           val flat = flattenMerge(m.getValue.asScala.toList)
-          PMap.fromPairs(flat.map(t => (walk(t.getKeyNode), walk(t.getValueNode))))
+          PMap.fromPairs(flat.map { t =>
+            val k = walk(t.getKeyNode)
+            k match {
+              case _: PSeq | _: PMap | _: PRecursive =>
+                // Python dict keys must be hashable (ConstructorError;
+                // the context mark is suppressed when it equals the key's)
+                val ctxMark =
+                  if (sameMark(m.getStartMark, t.getKeyNode.getStartMark)) ""
+                  else "\n" + renderMark(m.getStartMark, name)
+                throw new PyYamlError(
+                  "while constructing a mapping" + ctxMark +
+                    "\nfound unhashable key\n" +
+                    renderMark(t.getKeyNode.getStartMark, name))
+              case _ => ()
+            }
+            (k, walk(t.getValueNode))
+          })
         } finally inProgress.remove(m)
       case other =>
         throw new PyYamlError(

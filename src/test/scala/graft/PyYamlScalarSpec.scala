@@ -6,7 +6,7 @@ import org.json4s.jackson.JsonMethods
 
 import graft.ingest._
 
-/** Differential replay of the 511-token scalar corpus
+/** Differential replay of the 515-token scalar corpus
   * (tools/gen_pyyaml_scalar_corpus.py, seed 49): every token parsed as
   * `k: <token>` must construct the same Python kind and render the same
   * str()/repr() as the reference's YamlLoader — the YAML-1.1 resolver
@@ -26,7 +26,7 @@ class PyYamlScalarSpec extends AnyFunSuite {
     case other => other.getClass.getSimpleName
   }
 
-  test("511 scalar tokens resolve and render byte-identically") {
+  test("515 scalar tokens resolve and render byte-identically") {
     val src = scala.io.Source.fromInputStream(
       getClass.getResourceAsStream("/golden/pyyaml_scalars.jsonl"), "UTF-8")
     val cases = try src.getLines().map { line =>
@@ -34,7 +34,7 @@ class PyYamlScalarSpec extends AnyFunSuite {
       ((j \ "token").extract[String], (j \ "kind").extract[String],
         (j \ "str").extract[String], (j \ "repr").extractOpt[String])
     }.toList finally src.close()
-    assert(cases.size === 511)
+    assert(cases.size === 515)
 
     val bad = cases.flatMap { case (token, kind, str, reprOpt) =>
       val got = try {

@@ -58,6 +58,23 @@ CASES = [
     ("percent-mid", "a: 50%\n"),
     ("bang-only", "a: !\n"),
     ("reserved-directive", "%FOO bar\n---\na: 1\n"),
+    ("tag-directive", "%TAG !e! tag:example.com,2000:\n---\na: !e!thing 1\n"),
+    ("block-scalar-indent", "a: |2\n  x\n y\n"),
+    ("folded-ok", "a: >\n  folded\n  text\n"),
+    ("anchor-alias-roundtrip", "a: &x [1, 2]\nb: *x\n"),
+    ("doc-end-then-more", "a: 1\n...\nb: 2\n"),
+    ("second-doc-directive", "a: 1\n...\n%YAML 1.1\n---\nb: 2\n"),
+    ("second-doc-bad-directive", "a: 1\n...\n%NOPE x\n---\nb: 2\n"),
+    ("explicit-doc-empty-key", "? \n: v\n"),
+    ("flow-map-missing-colon", "a: {x 1}\n"),
+    ("seq-in-map-value", "a: - 1\n"),
+    ("dquote-bad-escape", "a: \"x\\q\"\n"),
+    ("dquote-unicode-escape", "a: \"\\u00e9\"\n"),
+    ("colon-no-space-flow", "{a:1}\n"),
+    ("nested-flow-in-block-key", "{a: 1}: v\n"),
+    ("sexagesimal-key", "1:30: v\n"),
+    ("bom-start", "\ufeffa: 1\n"),
+    ("high-unicode", "a: \u00e9\u4e2d\n"),
 ]
 
 

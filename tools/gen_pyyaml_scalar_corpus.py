@@ -35,6 +35,9 @@ CURATED = [
     "0.1", "0.2", "5x", "1.2%", "0.0%", "800 - 1000", "-5.3--2", "7000",
     "2.300e-003f", "2.5", "13TeV", "-1.5", "7 TeV", "P P --> X",
     "1e-05", "1.5e16", "123456789012345678901234567890", "0.30000000000000004",
+    # fuzz-caught (seed 71): the leading-dot float form requires a digit
+    # after the dot — these are strings
+    "._00", "._19", "._5e+1", ".0_1",
 ]
 
 TOK_PARTS = ["0", "1", "9", "00", "07", "08", "19", "_", ".", "-", "+", ":",
