@@ -156,6 +156,22 @@ object HepDataRules {
         vio(0, lit(2), lit(1), lit(0), lit(0), lit(0),
           lit("'dependent_variables' is a required property")))), nn(_))
 
+    // key present but not an array (incl. the single-YAML split's None
+    // defaults): jsonschema type error under properties.<key>, with the
+    // ARRAY schema repr (version-derived) — sorts before that key's
+    // per-variable errors (k2 = -100)
+    val badArrayArr = filter(array(
+      optVio(!col("emptyDoc") && col("indepBadRepr").isNotNull,
+        vio(0, lit(0), lit(-100), lit(0), lit(0), lit(0),
+          concat(col("indepBadRepr"),
+            lit(" is not of type 'array' in 'independent_variables' (expected: " +
+              reprs.indepArray + ")")))),
+      optVio(!col("emptyDoc") && col("depBadRepr").isNotNull,
+        vio(0, lit(1), lit(-100), lit(0), lit(0), lit(0),
+          concat(col("depBadRepr"),
+            lit(" is not of type 'array' in 'dependent_variables' (expected: " +
+              reprs.depArray + ")"))))), nn(_))
+
     val indepSchemaArr = flatten(transform(col("indep"), (v, i) => {
       val valueErrs = if (!pre110) {
         filter(transform(v.getField("values"), (x, j) => {
@@ -309,8 +325,13 @@ object HepDataRules {
     val errSchemaArr = col("_ev").getField("schemaVios")
     val errValArr = col("_ev").getField("vios")
     val semAborted = !col("emptyDoc") &&
-      (!col("hasDep") || col("_ev").getField("aborted"))
-    val lengthRan = col("hasDep") && !semAborted
+      (!col("hasDep") || col("depBadRepr").isNotNull ||
+        col("_ev").getField("aborted"))
+    // a non-array independent_variables raises inside the LENGTH check
+    // (len()/iteration TypeError — probed live), so phase 1 messages
+    // survive but phases 2-3 abort silently
+    val lengthRan = col("hasDep") && !semAborted &&
+      col("indepBadRepr").isNull
     val phase23Gate = lengthRan && col("hasIndep")
 
     // ---- phase 2: check_length_values --------------------------------
@@ -388,7 +409,7 @@ object HepDataRules {
     }))
 
     val noV = slice(emptyArr, 1, 0) // typed empty array
-    val all = concat(emptyArr, topReqArr, indepSchemaArr, depSchemaArr,
+    val all = concat(emptyArr, topReqArr, badArrayArr, indepSchemaArr, depSchemaArr,
       errSchemaArr, // per-error schema checks from the kernel's schema pass
       if (version.major > 0) errValArr else noV,
       if (version.major > 0) lengthArr else noV,
@@ -405,6 +426,7 @@ object HepDataRules {
     val exceptionOccurred: Column =
       if (version.major == 0) lit(false)
       else semAborted ||
+        (col("hasDep") && !semAborted && col("indepBadRepr").isNotNull) ||
         (lengthRan && !col("hasIndep")) ||
         (if (version >= SchemaVersion.V110)
           phase23Gate && firstBadIndep =!= 0 else lit(false))

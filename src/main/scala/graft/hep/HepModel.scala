@@ -85,11 +85,16 @@ final case class HepDepVar(
 
 /** One row per data-table document. `emptyDoc` mirrors a YAML file that
   * parses to nothing (ref: data_file_validator.py:103-107). */
+/** `indepBadRepr`/`depBadRepr`: non-null when the key is PRESENT but its
+  * value is not an array (incl. None — the single-YAML split writes both
+  * keys with None defaults): Python repr for the jsonschema type error
+  * "X is not of type 'array' in '<key>' (expected: ...)". */
 final case class HepRow(
     file: String,
     emptyDoc: Boolean,
     hasIndep: Boolean, indep: Seq[HepIndepVar],
-    hasDep: Boolean, dep: Seq[HepDepVar])
+    hasDep: Boolean, dep: Seq[HepDepVar],
+    indepBadRepr: String = null, depBadRepr: String = null)
 
 object HepModel {
   // convenience constructors for fixtures/tests

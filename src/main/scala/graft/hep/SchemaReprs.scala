@@ -16,6 +16,7 @@ import graft.spec.PyRepr
   * every version byte-consistent with the source of truth; a spec test pins
   * the derived 1.1.1 values against the previously hand-embedded constants. */
 final case class SchemaReprs(
+    indepArray: String, depArray: String,
     indepLow: String, indepHigh: String,
     indepValueItem: String, indepItem: String,
     depValueItem: String, depItem: String,
@@ -53,6 +54,8 @@ object SchemaReprs {
       def flatProp(k: String): String =
         PyRepr.render(valueItem \ "properties" \ k)
       SchemaReprs(
+        indepArray = PyRepr.render(s \ "properties" \ "independent_variables"),
+        depArray = PyRepr.render(s \ "properties" \ "dependent_variables"),
         indepLow = if (version >= SchemaVersion.V110) "" else flatProp("low"),
         indepHigh = if (version >= SchemaVersion.V110) "" else flatProp("high"),
         indepValueItem = PyRepr.render(valueItem),

@@ -91,6 +91,12 @@ final case class PMap(entries: Vector[(PyVal, PyVal)]) extends PyVal {
 
   def get(key: String): Option[PyVal] =
     entries.collectFirst { case (PStr(`key`), v) => v }
+  /** Python `d[key] = value`: replace in place when present, else append. */
+  def updated(key: String, value: PyVal): PMap = {
+    val i = entries.indexWhere { case (PStr(`key`), _) => true; case _ => false }
+    if (i >= 0) PMap(entries.updated(i, (entries(i)._1, value)))
+    else PMap(entries :+ ((PStr(key): PyVal) -> value))
+  }
   def has(key: String): Boolean = get(key).isDefined
   /** String keys in insertion order (non-string keys rendered via str()
     * would never match the schemas' known-key sets anyway). */
@@ -100,21 +106,27 @@ final case class PMap(entries: Vector[(PyVal, PyVal)]) extends PyVal {
 }
 
 object PMap {
+  /** Python dict key identity: hash/eq of the key VALUE. Numbers compare
+    * across types (1 == 1.0 == True) so they canonicalize to one id
+    * (exact BigInt conversion for any finite whole double). NaN keys also
+    * collapse: through the reference's loader `{.nan: 1, .nan: 2}` loads
+    * as `{nan: 2}` (corpus-pinned — raw-Python two-NaN-object dicts would
+    * keep both, but that is not what the loader produces). */
+  private def keyId(k: PyVal): String = k match {
+    case PBool(b) => "num:" + (if (b) "1" else "0")
+    case PInt(n) => "num:" + n.toString
+    case PFloat(d) if d.isNaN => "num:nan"
+    case PFloat(d) if d.isWhole && !d.isInfinite =>
+      "num:" + BigDecimal(d).toBigInt.toString
+    case other => other.pyRepr
+  }
+
   /** Build with Python dict assignment semantics from raw pairs. */
   def fromPairs(pairs: Seq[(PyVal, PyVal)]): PMap = {
     val order = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val out = scala.collection.mutable.ArrayBuffer.empty[(PyVal, PyVal)]
     pairs.foreach { case (k, v) =>
-      // Python dict identity: hash/eq of the key VALUE. Numbers compare
-      // across types (1 == 1.0 == True), so canonicalize those to one id;
-      // everything else renders a type-distinct repr.
-      val id = k match {
-        case PBool(b) => "num:" + (if (b) "1" else "0")
-        case PInt(n) => "num:" + n.toString
-        case PFloat(d) if d.isWhole && math.abs(d) < 1e18 =>
-          "num:" + BigDecimal(d).toBigInt.toString
-        case other => other.pyRepr
-      }
+      val id = keyId(k)
       order.get(id) match {
         case Some(i) => out(i) = (out(i)._1, v)
         case None => order(id) = out.length; out += ((k, v))

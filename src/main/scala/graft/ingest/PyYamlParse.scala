@@ -169,7 +169,21 @@ object PyYamlParse {
         if (z != null) Some(0)
         else if (sgn != null) {
           val mins = th.toInt * 60 + (if (tm != null) tm.toInt else 0)
-          Some(if (sgn == "-") -mins else mins)
+          // datetime.timezone rejects |offset| >= 24h (ValueError text
+          // includes the timedelta repr)
+          val signed = if (sgn == "-") -mins else mins
+          if (mins >= 24 * 60) {
+            val total = signed * 60
+            val days = Math.floorDiv(total, 86400)
+            val secs = Math.floorMod(total, 86400)
+            val parts = Seq(
+              if (days != 0) Some(s"days=$days") else None,
+              if (secs != 0) Some(s"seconds=$secs") else None).flatten
+            throw new PyYamlError(
+              "offset must be a timedelta strictly between -timedelta(hours=24)" +
+                s" and timedelta(hours=24), not datetime.timedelta(${parts.mkString(", ")}).")
+          }
+          Some(signed)
         } else None
       val base = f"$y%04d-$mo%02d-$d%02d $h%02d:$m%02d:$s%02d" +
         (if (micro != 0) f".$micro%06d" else "")
@@ -340,25 +354,27 @@ object PyYamlParse {
     sb.toString
   }
 
-  /** libyaml rejects unknown %-directives that snakeyaml skips: pre-scan
-    * directive positions (stream start and after each '...' line, up to
-    * the first content/'---' line). */
-  private def checkDirectives(text: String, name: String): Unit = {
-    var inDirectives = true
-    var line = 0
-    text.split("\n", -1).foreach { l =>
-      if (inDirectives && l.startsWith("%")) {
+  /** libyaml rejects unknown %-directives that snakeyaml skips. Both
+    * scanners treat ANY column-0 '%' as a directive token (PyYAML
+    * scanner: `self.column == 0 and ch == '%'`), so scan every line;
+    * the caller arbitrates against snakeyaml's own error by POSITION
+    * (the reference's scanner is sequential — whichever comes first in
+    * the stream wins). Theoretical false positive: a column-0 '%'
+    * continuation line of a root-level multi-line FLOW scalar — not
+    * constructible in the mapping-rooted documents this validator sees.
+    * Returns (0-based line, rendered error). */
+  private def findBadDirective(text: String, name: String): Option[(Int, String)] = {
+    text.split("\n", -1).zipWithIndex.collectFirst {
+      case (l, line) if l.startsWith("%") && {
+        val n0 = l.drop(1).takeWhile(c => c != ' ' && c != '\t')
+        n0 != "YAML" && n0 != "TAG"
+      } =>
         val name0 = l.drop(1).takeWhile(c => c != ' ' && c != '\t')
-        if (name0 != "YAML" && name0 != "TAG")
-          throw new PyYamlError(
-            "while scanning a directive\n" +
-              s"""  in "$name", line ${line + 1}, column 1""" + "\n" +
-              "found unknown directive name\n" +
-              s"""  in "$name", line ${line + 1}, column ${name0.length + 2}""")
-      } else if (l.startsWith("...")) inDirectives = true
-      else if (l.nonEmpty && !l.startsWith("#") && !l.startsWith("---") &&
-          l.exists(c => c != ' ' && c != '\t')) inDirectives = false
-      line += 1
+        (line,
+          "while scanning a directive\n" +
+            s"""  in "$name", line ${line + 1}, column 1""" + "\n" +
+            "found unknown directive name\n" +
+            s"""  in "$name", line ${line + 1}, column ${name0.length + 2}""")
     }
   }
 
@@ -417,15 +433,22 @@ object PyYamlParse {
   /** yaml.load(text, YamlLoader): single document (None when empty). */
   def load(text: String, name: String): PyVal = {
     checkPrintable(text, name)
-    checkDirectives(text, name)
+    val badDir = findBadDirective(text, name)
+    def dirError(): Nothing = throw new PyYamlError(badDir.get._2)
     try {
       val c = composer(text)
       val node = c.getSingleNode
+      if (badDir.isDefined) dirError() // snakeyaml skipped it; libyaml errors
       if (node == null) PNone else construct(node, name)
     } catch {
       case e: PyYamlError => throw e
-      case e: MarkedYAMLException => throw new PyYamlError(render(e, name))
+      case e: MarkedYAMLException =>
+        // sequential-scanner arbitration: the earlier stream position wins
+        if (badDir.exists(d => e.getProblemMark == null ||
+            d._1 <= e.getProblemMark.getLine)) dirError()
+        throw new PyYamlError(render(e, name))
       case e: org.yaml.snakeyaml.error.YAMLException =>
+        if (badDir.isDefined) dirError()
         throw new PyYamlError(e.getMessage)
     }
   }
@@ -434,16 +457,22 @@ object PyYamlParse {
     * stream with list() before use, so eager is faithful. */
   def loadAll(text: String, name: String): Vector[PyVal] = {
     checkPrintable(text, name)
-    checkDirectives(text, name)
+    val badDir = findBadDirective(text, name)
+    def dirError(): Nothing = throw new PyYamlError(badDir.get._2)
     try {
       val c = composer(text)
       val out = Vector.newBuilder[PyVal]
       while (c.checkNode()) out += construct(c.getNode, name)
+      if (badDir.isDefined) dirError()
       out.result()
     } catch {
       case e: PyYamlError => throw e
-      case e: MarkedYAMLException => throw new PyYamlError(render(e, name))
+      case e: MarkedYAMLException =>
+        if (badDir.exists(d => e.getProblemMark == null ||
+            d._1 <= e.getProblemMark.getLine)) dirError()
+        throw new PyYamlError(render(e, name))
       case e: org.yaml.snakeyaml.error.YAMLException =>
+        if (badDir.isDefined) dirError()
         throw new PyYamlError(e.getMessage)
     }
   }
@@ -477,7 +506,7 @@ object PyYamlParse {
         checkCollectionTag(m, Tag.MAP)
         if (!inProgress.add(m)) PRecursive(inSeq = false)
         else try {
-          val flat = flattenMerge(m.getValue.asScala.toList)
+          val flat = flattenMerge(m)
           PMap.fromPairs(flat.map { t =>
             val k = walk(t.getKeyNode)
             k match {
@@ -508,25 +537,28 @@ object PyYamlParse {
         (s.getTag == PlainTag || s.getTag == Tag.MERGE)
       case _ => false
     }
-    def flattenMerge(pairs: List[NodeTuple]): List[NodeTuple] = {
-      val (merges, rest) = pairs.partition(isMergeKey)
+    def flattenMerge(parent: MappingNode): List[NodeTuple] = {
+      // ConstructorError marks: the PARENT mapping's start as context,
+      // the offending value node as problem (probed live)
+      def mergeErr(what: String, bad: Node): Nothing =
+        throw new PyYamlError(
+          "while constructing a mapping\n" +
+            renderMark(parent.getStartMark, name) + "\n" +
+            s"expected a $what for merging, but found " +
+            bad.getNodeId.toString + "\n" +
+            renderMark(bad.getStartMark, name))
+      val (merges, rest) = parent.getValue.asScala.toList.partition(isMergeKey)
       if (merges.isEmpty) rest
       else {
         val merged = merges.flatMap { t =>
           t.getValueNode match {
-            case m: MappingNode => flattenMerge(m.getValue.asScala.toList)
+            case m: MappingNode => flattenMerge(m)
             case s: SequenceNode =>
               s.getValue.asScala.toList.reverse.flatMap {
-                case m: MappingNode => flattenMerge(m.getValue.asScala.toList)
-                case bad =>
-                  throw new PyYamlError(
-                    "while constructing a mapping\nexpected a mapping for merging, but found " +
-                      bad.getNodeId.toString)
+                case m: MappingNode => flattenMerge(m)
+                case bad => mergeErr("mapping", bad)
               }
-            case bad =>
-              throw new PyYamlError(
-                "while constructing a mapping\nexpected a mapping or list of mappings for merging, but found " +
-                  bad.getNodeId.toString)
+            case bad => mergeErr("mapping or list of mappings", bad)
           }
         }
         merged ++ rest

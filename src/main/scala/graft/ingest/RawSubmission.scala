@@ -7,12 +7,18 @@ import graft.hep._
 
 /** One directory entry after the executor-side read+parse pass.
   * `hepRow` is present for data-shaped documents (root mapping without a
-  * custom-schema 'type', or an empty doc); `unrepresentable` quarantines
-  * shapes outside the row model (never silently dropped). */
+  * custom-schema 'type', or an empty doc); `rootViolation` carries the
+  * reference's message for non-mapping roots / unregistered custom types
+  * (probed live: "[1, 2] is not of type 'object'", "There is no schema
+  * defined for the 'X' data type." — int-like roots CRASH the reference
+  * with a TypeError; here they get the type message, fail-closed);
+  * `unrepresentable` quarantines shapes outside the row model (never
+  * silently dropped). */
 final case class ParsedFile(
     fname: String, size: Long,
     parseable: Boolean, parseError: Option[String],
-    hepRow: Option[HepRow], unrepresentable: Option[String])
+    hepRow: Option[HepRow], unrepresentable: Option[String],
+    rootViolation: Option[String] = None)
 
 /** Raw-directory ingestion: actual YAML bytes → the engine's row model,
   * then the existing FullSubmission orchestration — the production path
@@ -53,31 +59,63 @@ object RawSubmission {
       sizeLimit: Long = FullSubmission.SizeLimit): Dataset[ParsedFile] = {
     import spark.implicits._
     val dirStr = dir
-    spark.createDataset(listing).map { case (fname, size) =>
-      if (fname == "submission.yaml" || size > sizeLimit)
-        ParsedFile(fname, size, parseable = true, None, None, None)
-      else {
-        val path = new org.apache.hadoop.fs.Path(dirStr, fname)
-        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val in = fs.open(path)
-        val bytes = try {
-          val buf = new Array[Byte](size.toInt)
-          in.readFully(0, buf); buf
-        } finally in.close()
-        try {
-          val doc = PyYamlParse.load(PyYamlParse.decode(bytes, fname), fname)
-          val row = doc match {
-            case PNone => Some(YamlIngest.dataRow(fname, PNone))
-            case m: PMap if !m.has("type") => Some(YamlIngest.dataRow(fname, m))
-            case _ => None // scalar/list roots, custom-schema 'type' docs
+    // ship the SESSION's Hadoop configuration (fs credentials/endpoints)
+    // to the tasks — a fresh Configuration() only sees core-defaults and
+    // breaks any non-default filesystem (review finding)
+    val confEntries: Array[(String, String)] = {
+      val c = spark.sparkContext.hadoopConfiguration
+      val it = c.iterator()
+      val buf = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue) }
+      buf.result()
+    }
+    spark.createDataset(listing).mapPartitions { entries =>
+      lazy val conf = {
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => c.set(k, v) }
+        c
+      }
+      entries.map { case (fname, size) =>
+        if (fname == "submission.yaml" || size > sizeLimit)
+          ParsedFile(fname, size, parseable = true, None, None, None, None)
+        else {
+          val path = new org.apache.hadoop.fs.Path(dirStr, fname)
+          val fs = path.getFileSystem(conf)
+          val in = fs.open(path)
+          val bytes = try {
+            val buf = new Array[Byte](size.toInt)
+            in.readFully(0, buf); buf
+          } finally in.close()
+          try {
+            val doc = PyYamlParse.load(PyYamlParse.decode(bytes, fname), fname)
+            val row = doc match {
+              case PNone => Some(YamlIngest.dataRow(fname, PNone))
+              case m: PMap if !m.has("type") => Some(YamlIngest.dataRow(fname, m))
+              case _ => None // non-mapping roots / custom-schema 'type'
+                             // docs get synthetic violations below
+            }
+            // the reference rejects non-mapping roots ("X is not of type
+            // 'object'") and unregistered custom types — reproduce the
+            // messages instead of silently passing the file (review
+            // finding; probed live)
+            val rootVio = doc match {
+              case PNone | _: PMap if row.isDefined => None
+              case m: PMap => // 'type'-keyed custom-schema doc
+                val t = m.get("type").map(_.pyStr).getOrElse("")
+                Some(s"There is no schema defined for the '$t' data type.")
+              case other =>
+                Some(s"${other.pyRepr} is not of type 'object'")
+            }
+            ParsedFile(fname, size, parseable = true, None, row,
+              None, rootVio)
+          } catch {
+            case e: PyYamlError =>
+              ParsedFile(fname, size, parseable = false,
+                Some(e.rendered.replace("\n", "\n\t\t")), None, None, None)
+            case e: UnrepresentableShape =>
+              ParsedFile(fname, size, parseable = true, None, None,
+                Some(e.what), None)
           }
-          ParsedFile(fname, size, parseable = true, None, row, None)
-        } catch {
-          case e: PyYamlError =>
-            ParsedFile(fname, size, parseable = false,
-              Some(e.rendered.replace("\n", "\n\t\t")), None, None)
-          case e: UnrepresentableShape =>
-            ParsedFile(fname, size, parseable = true, None, None, Some(e.what))
         }
       }
     }
@@ -129,11 +167,18 @@ object RawSubmission {
           return fail(attrName,
             "There was a problem parsing the file:\n\t\t" +
               e.rendered.replace("\n", "\n\t\t"))
+        case e: UnrepresentableShape =>
+          // loud fail-closed (the reference emits a schema message or
+          // crashes here, shape-dependent); never a silent pass
+          return fail(attrName, s"Unrepresentable YAML shape: ${e.what}")
       }
     val docs = tables.docs.toDF("docIdx", "name", "resources")
+    // localCheckpoint: eager materialization with lineage cut — cleaned
+    // up by the ContextCleaner when the frame is collected and dropped
+    // (a plain persist leaks in long-lived sessions)
     val messages = FullSubmission.validateSingleYaml(spark,
       Seq(tables.sub).toDS().toDF(), attrName, docs,
-      tables.hepRows.toDF()).persist()
+      tables.hepRows.toDF()).localCheckpoint()
     // single-YAML mode: any message is doc-invalidating (parse errors are
     // impossible for the derived files and the sweep is off)
     val valid = messages.isEmpty
@@ -182,6 +227,9 @@ object RawSubmission {
           return fail("submission.yaml",
             "There was a problem parsing the file:\n\t\t" +
               e.rendered.replace("\n", "\n\t\t"))
+        case e: UnrepresentableShape =>
+          return fail("submission.yaml",
+            s"Unrepresentable YAML shape: ${e.what}")
       }
 
     // reference short-circuit: invalid submission.yaml → its own messages
@@ -203,8 +251,12 @@ object RawSubmission {
         .select(col("fname"), col("size"), col("parseable"),
           col("parseError").as("parseError"))
       val hepRows = parsed.flatMap(_.hepRow.toSeq).toDF()
+      val rootVios = parsed
+        .flatMap(f => f.rootViolation.map(m => (f.fname, 0, m)).toSeq)
+        .toDF("file", "seq", "message")
       val dv = HepDataRules.violations(hepRows)
-        .select(col("file"), col("seq"), col("message"))
+        .select(col("file"), col("seq").cast("int").as("seq"), col("message"))
+        .unionByName(rootVios)
       val docs = docsMeta
         .map(d => (d.docIdx, d.name, d.hasDataFile, d.dataFile, d.resources,
           d.dataSchema.orNull))
@@ -239,8 +291,10 @@ object RawSubmission {
           (k.getInt(0), k.getInt(1), k.getInt(2), k.getInt(3), f) }
         .map(_._1).toSeq
       keyed.unpersist()
-      val quarantined = parsed.collect()
-        .flatMap(f => f.unrepresentable.map(f.fname -> _)).toSeq
+      // slim projection — never pull full HepRow payloads to the driver
+      val quarantined = parsed
+        .flatMap(f => f.unrepresentable.map(f.fname -> _).toSeq)
+        .collect().toSeq
       Result(messages, inDocOrder, subValid = subListed, quarantined, fileOrder)
     } finally parsed.unpersist()
   }

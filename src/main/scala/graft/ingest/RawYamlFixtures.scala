@@ -20,7 +20,7 @@ object RawYamlFixtures {
     "raw_valid.yaml", "raw_zero_unc.yaml", "raw_oneof.yaml",
     "raw_badtypes.yaml", "raw_inf_bins.yaml", "raw_lengths.yaml",
     "raw_extras.yaml", "raw_scalar_quirks.yaml", "raw_missing_parts.yaml",
-    "raw_empty.yaml")
+    "raw_bad_arrays.yaml", "raw_empty.yaml")
 
   lazy val docs: Seq[(String, String)] = names.map { n =>
     val in = getClass.getResourceAsStream(s"/rawyaml/$n")

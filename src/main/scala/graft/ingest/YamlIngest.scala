@@ -221,13 +221,21 @@ object YamlIngest {
     case m: PMap =>
       val indep = m.get("independent_variables")
       val dep = m.get("dependent_variables")
+      // present-but-not-array (incl. null): carried as a repr for the
+      // jsonschema type error, vars empty (the reference never descends)
+      def bad(v: Option[PyVal]): String = v match {
+        case Some(x) if !x.isInstanceOf[PSeq] => x.pyRepr
+        case _ => null
+      }
       HepRow(file, emptyDoc = false,
         hasIndep = indep.isDefined,
-        indep = indep.map(asSeq(_, "independent_variables").map(indepVar))
+        indep = indep.collect { case PSeq(xs) => xs.map(indepVar) }
           .getOrElse(Vector.empty),
         hasDep = dep.isDefined,
-        dep = dep.map(asSeq(_, "dependent_variables").map(depVar))
-          .getOrElse(Vector.empty))
+        dep = dep.collect { case PSeq(xs) => xs.map(depVar) }
+          .getOrElse(Vector.empty),
+        indepBadRepr = bad(indep),
+        depBadRepr = bad(dep))
     case other =>
       throw new UnrepresentableShape(s"data document root: ${other.pyRepr}")
   }
@@ -354,12 +362,19 @@ object YamlIngest {
           case bad => // reference crashes on non-str names (str.replace)
             throw new UnrepresentableShape(s"single-YAML table name: ${bad.pyRepr}")
         }
-        rows += dataRow(derived,
-          PMap(m.entries.filter { case (k, _) => k match {
-            case PStr(s) => dataKeys(s); case _ => false } }))
-        PMap(m.entries.filterNot { case (k, _) => k match {
-          case PStr(s) => dataKeys(s); case _ => false } }
-          :+ ((PStr("data_file"): PyVal) -> (PStr(derived): PyVal)))
+        // the reference's derived file carries BOTH keys, None when the
+        // doc lacks one (doc.pop(key, None)) — a missing key therefore
+        // surfaces as "None is not of type 'array'", not as required
+        rows += dataRow(derived, PMap(Vector(
+          (PStr("independent_variables"): PyVal) ->
+            m.get("independent_variables").getOrElse(PNone),
+          (PStr("dependent_variables"): PyVal) ->
+            m.get("dependent_variables").getOrElse(PNone))))
+        // doc['data_file'] = derived: REPLACE any existing value in place
+        // (dict assignment), then drop the inline data keys
+        PMap(m.updated("data_file", PStr(derived)).entries
+          .filterNot { case (k, _) => k match {
+            case PStr(s) => dataKeys(s); case _ => false } })
       case other => other
     }
     val docs = mutated.zipWithIndex.map {

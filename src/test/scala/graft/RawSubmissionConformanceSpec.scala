@@ -36,6 +36,62 @@ class RawSubmissionConformanceSpec extends AnyFunSuite {
     }
   }
 
+  test("non-mapping data roots and custom-type docs fail loudly (review finding)") {
+    // probed live: list/scalar roots get "X is not of type 'object'";
+    // unregistered custom types get the no-schema message — never a
+    // silent pass (the old code emitted NO row and NO violation)
+    val dir = Files.createTempDirectory("graft_rootvio_")
+    try {
+      Files.write(dir.resolve("submission.yaml"),
+        ("""name: Table 1
+           |description: d
+           |keywords: [{name: reactions, values: [P P --> X]}]
+           |data_file: data1.yaml
+           |---
+           |name: Table 2
+           |description: d
+           |keywords: [{name: reactions, values: [P P --> X]}]
+           |data_file: data2.yaml
+           |""".stripMargin).getBytes("UTF-8"))
+      Files.write(dir.resolve("data1.yaml"), "- 1\n- 2\n".getBytes("UTF-8"))
+      Files.write(dir.resolve("data2.yaml"),
+        "type: mycustom\nstuff: 1\n".getBytes("UTF-8"))
+      val res = RawSubmission.validateDir(spark, dir.toString)
+      val msgs = res.messages.orderBy("file", "seq").collect()
+        .map(r => (r.getAs[String]("file"), r.getAs[String]("message"))).toList
+      assert(msgs.contains(("data1.yaml", "data1.yaml is invalid HEPData YAML.")))
+      assert(msgs.contains(("data1.yaml", "[1, 2] is not of type 'object'")))
+      assert(msgs.contains(("data2.yaml",
+        "There is no schema defined for the 'mycustom' data type.")))
+      assert(res.validDataFiles.isEmpty)
+    } finally {
+      import scala.util.Try
+      Try(org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile))
+    }
+  }
+
+  test("single-YAML split overwrites an existing data_file in place (review finding)") {
+    // reference: doc['data_file'] = derived REPLACES the value, so a
+    // pre-existing non-string data_file cannot leak a spurious type error
+    val t = graft.ingest.YamlIngest.splitSingleYaml("s.yaml",
+      """name: Tab 1
+        |description: d
+        |data_file: 5
+        |keywords: [{name: reactions, values: [P P --> X]}]
+        |independent_variables: [{header: {name: X}, values: [{value: 1}]}]
+        |dependent_variables: [{header: {name: Y}, values: [{value: 2}]}]
+        |""".stripMargin)
+    val doc = t.sub.docs.head
+    assert(doc.dataFileRaw === "Tab_1.yaml")
+    assert(doc.dataFileIsString)
+    // a named doc with NO inline data splits to None-valued keys (the
+    // reference's doc.pop(key, None) write) -> the type-error reprs
+    val t2 = graft.ingest.YamlIngest.splitSingleYaml("s.yaml",
+      "name: Tab 2\ndescription: d\n")
+    assert(t2.hepRows.head.indepBadRepr === "None")
+    assert(t2.hepRows.head.depBadRepr === "None")
+  }
+
   test("120 raw directories ingest and validate byte-exact") {
     import spark.implicits._
     val lenient = new com.fasterxml.jackson.databind.ObjectMapper()

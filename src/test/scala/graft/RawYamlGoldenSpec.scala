@@ -20,7 +20,7 @@ class RawYamlGoldenSpec extends AnyFunSuite {
       val j = JsonMethods.parse(l)
       (j \ "file").extract[String] -> (j \ "messages").extract[List[String]]
     }.toList finally src.close()
-    assert(expected.size === 10)
+    assert(expected.size === 11)
 
     val got = SparkEntry.queries("raw_yaml_violations")(spark, "unused")
       .collect()
@@ -41,7 +41,7 @@ class RawYamlGoldenSpec extends AnyFunSuite {
         case _ => ()
       }
     }
-    assert(bad.isEmpty, s"${bad.size} of 10 files mismatch")
+    assert(bad.isEmpty, s"${bad.size} of 11 files mismatch")
     info(s"$nMsgs reference messages replayed through the raw-YAML path")
   }
 }

@@ -189,13 +189,22 @@ def dep_var(v):
 def doc_to_row(name, doc):
     if doc is None:
         return {"file": name, "emptyDoc": True, "hasIndep": False,
-                "indep": [], "hasDep": False, "dep": []}
+                "indep": [], "hasDep": False, "dep": [],
+                "indepBadRepr": None, "depBadRepr": None}
+    indep = doc.get("independent_variables")
+    dep = doc.get("dependent_variables")
+
+    def bad(key, v):
+        # present but not a list -> jsonschema type error repr
+        return py_repr(v) if key in doc and not isinstance(v, list) else None
     return {
         "file": name, "emptyDoc": False,
         "hasIndep": "independent_variables" in doc,
-        "indep": [indep_var(v) for v in doc.get("independent_variables", [])],
+        "indep": [indep_var(v) for v in indep] if isinstance(indep, list) else [],
         "hasDep": "dependent_variables" in doc,
-        "dep": [dep_var(v) for v in doc.get("dependent_variables", [])]}
+        "dep": [dep_var(v) for v in dep] if isinstance(dep, list) else [],
+        "indepBadRepr": bad("independent_variables", indep),
+        "depBadRepr": bad("dependent_variables", dep)}
 
 
 # ---------------------------------------------------------------- generator
@@ -264,7 +273,18 @@ def rand_doc(rng):
     r = rng.random()
     doc = {}
     n = rng.randint(1, 3)
-    if r > 0.1:  # independent_variables present
+    # present-but-not-array variables keys (~1 in 14 docs): the jsonschema
+    # type error + the reference's silent phase-2/3 abort
+    if rng.random() < 0.07:
+        doc["independent_variables"] = rng.choice(
+            [None, 5, 2.5, "xx", {"a": 1}])
+    if rng.random() < 0.07:
+        doc["dependent_variables"] = rng.choice([None, 7, "yy"])
+    if "independent_variables" in doc or "dependent_variables" in doc:
+        # fill the OTHER key (if absent) from the normal grammar below;
+        # the bad key must not be overwritten
+        pass
+    if r > 0.1 and "independent_variables" not in doc:  # independent_variables present
         ivars = []
         for _ in range(rng.randint(1, 2)):
             v = {}
@@ -276,7 +296,7 @@ def rand_doc(rng):
                 v["zz"] = 1
             ivars.append(v)
         doc["independent_variables"] = ivars
-    if r > 0.06 or r < 0.03:  # dependent_variables present
+    if (r > 0.06 or r < 0.03) and "dependent_variables" not in doc:  # dependent_variables present
         dvars = []
         for _ in range(rng.randint(1, 2)):
             v = {}

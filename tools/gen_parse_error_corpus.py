@@ -75,6 +75,17 @@ CASES = [
     ("sexagesimal-key", "1:30: v\n"),
     ("bom-start", "\ufeffa: 1\n"),
     ("high-unicode", "a: \u00e9\u4e2d\n"),
+    # review-sweep round 5: error-position arbitration + constructor errors
+    ("early-error-then-directive", "key: : value\n...\n%FOO x\n"),
+    ("mid-doc-directive", "a: 1\n%FOO x\n"),
+    ("merge-bad-scalar", "a: 1\n<<: 5\n"),
+    ("merge-bad-list-item", "<<: [{a: 1}, 2]\na: 3\n"),
+    ("merge-ok", "a: &A {x: 1}\nb:\n  <<: *A\n  y: 2\n"),
+    ("merge-list-ok", "a: &A {x: 1}\nc: &C {z: 9, x: 7}\nb:\n  <<: [*A, *C]\n  y: 2\n"),
+    ("tz-offset-range", "k: 2020-01-01 00:00:00 +25\n"),
+    ("tz-offset-neg-range", "k: 2020-01-01 00:00:00 -25:30\n"),
+    ("nan-dup-keys", "{.nan: 1, .nan: 2}\n"),
+    ("float-key-aliasing", "{1: a, 1.0: b, !!bool true: c}\n"),
 ]
 
 

@@ -21,7 +21,7 @@ RES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 NAMES = ["raw_valid.yaml", "raw_zero_unc.yaml", "raw_oneof.yaml",
          "raw_badtypes.yaml", "raw_inf_bins.yaml", "raw_lengths.yaml",
          "raw_extras.yaml", "raw_scalar_quirks.yaml",
-         "raw_missing_parts.yaml", "raw_empty.yaml"]
+         "raw_missing_parts.yaml", "raw_bad_arrays.yaml", "raw_empty.yaml"]
 
 
 def main():

@@ -72,15 +72,17 @@ def main():
             raw = yaml.safe_dump_all(stream)
             with open(case, "w") as f:
                 f.write(raw)
-            # capture inline data BEFORE the reference pops it
+            # capture inline data BEFORE the reference pops it; the
+            # derived file carries BOTH keys (None when absent), exactly
+            # like _create_data_files' doc.pop(key, None) writes
             hep_rows = []
             for doc in stream:
                 if "name" in doc:
                     hep_rows.append(gd.doc_to_row(
                         derived_name(doc["name"]),
-                        {k: copy.deepcopy(doc[k])
+                        {k: copy.deepcopy(doc.get(k))
                          for k in ("independent_variables",
-                                   "dependent_variables") if k in doc}))
+                                   "dependent_variables")}))
             v = FullSubmissionValidator()
             v.validate(file=case)
             msgs = {}
