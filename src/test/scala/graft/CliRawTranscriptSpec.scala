@@ -38,7 +38,13 @@ class CliRawTranscriptSpec extends AnyFunSuite {
     assert(cases.size === 63)
 
     val root = Files.createTempDirectory("graft_cli_")
-    val bad = try cases.flatMap { j =>
+    // 4-way case parallelism (see RawSubmissionConformanceSpec)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val bad = try Await.result(Future.traverse(cases) { j => Future {
       val mode = (j \ "mode").extract[String]
       val name = (j \ "case").extract[String]
       val expLines = (j \ "lines").extract[List[String]]
@@ -81,7 +87,8 @@ class CliRawTranscriptSpec extends AnyFunSuite {
         Some((name, lines.toList.zipAll(expLines, "<missing>", "<missing>")
           .filter { case (a, b) => a != b }, exit, expExit))
       }
-    } finally {
+    } }, Duration.Inf).flatten finally {
+      pool.shutdown()
       import scala.util.Try
       Try(org.apache.commons.io.FileUtils.deleteDirectory(root.toFile))
     }

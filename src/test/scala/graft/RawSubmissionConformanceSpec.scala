@@ -106,8 +106,16 @@ class RawSubmissionConformanceSpec extends AnyFunSuite {
     assert(cases.size === 120)
 
     val root = Files.createTempDirectory("graft_rawsub_")
-    var nMsgs = 0
-    val bad = try cases.flatMap { j =>
+    val nMsgs = new java.util.concurrent.atomic.AtomicInteger(0)
+    // 4-way case parallelism: each case is a handful of small Spark jobs
+    // (the shared local[4] session schedules concurrent jobs fine), so the
+    // wall time is fixed-overhead-bound, not compute-bound
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val bad = try Await.result(Future.traverse(cases) { j => Future {
       val name = (j \ "file").extract[String]
       val dir = root.resolve(name)
       Files.createDirectory(dir)
@@ -123,7 +131,7 @@ class RawSubmissionConformanceSpec extends AnyFunSuite {
         }.toMap
         case _ => Map.empty[String, List[(String, String)]]
       }
-      nMsgs += expMsgs.valuesIterator.map(_.size).sum
+      nMsgs.addAndGet(expMsgs.valuesIterator.map(_.size).sum)
 
       // intermediate tables
       val listing = new java.io.File(dir.toString).listFiles()
@@ -150,7 +158,8 @@ class RawSubmissionConformanceSpec extends AnyFunSuite {
         (gotMsgs != expMsgs) -> s"messages: $gotMsgs vs $expMsgs"
       ).collect { case (true, m) => m }
       if (problems.isEmpty) None else Some((name, problems))
-    } finally {
+    } }, Duration.Inf).flatten finally {
+      pool.shutdown()
       // best-effort cleanup
       import scala.util.Try
       Try(org.apache.commons.io.FileUtils.deleteDirectory(root.toFile))
@@ -159,7 +168,7 @@ class RawSubmissionConformanceSpec extends AnyFunSuite {
       info(s"MISMATCH $n"); ps.foreach(p => info(s"  ${p.take(2000)}"))
     }
     assert(bad.isEmpty, s"${bad.size} of 120 directories mismatch")
-    info(s"120 raw directories, $nMsgs reference messages replayed end-to-end")
-    assert(nMsgs > 250)
+    info(s"120 raw directories, ${nMsgs.get} reference messages replayed end-to-end")
+    assert(nMsgs.get > 250)
   }
 }
