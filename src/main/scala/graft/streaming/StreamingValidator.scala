@@ -30,6 +30,60 @@ object StreamingValidator {
   def violationStream(spec: TableSpec, stream: DataFrame): DataFrame =
     ConstraintCompiler.violations(spec, stream)
 
+  /** Continuous raw-YAML ingestion: a STREAM of whole data-file documents
+    * (Spark's file source with `wholetext`, one row per arriving file) →
+    * executor-side PyYamlParse/YamlIngest → the same stateless
+    * HepDataRules scan as batch. The production shape for a landing zone
+    * that data files drop into: new files become violation rows with
+    * checkpointed exactly-once file tracking, no extra state (the nested
+    * rules are a pure projection).
+    *
+    * Returns (file, seq, message, level). Files whose YAML fails to parse
+    * or whose shape exits the row model surface as INGEST rows (seq -1 /
+    * -2) rather than being dropped — a streaming analogue of
+    * [[graft.ingest.RawSubmission]]'s parse-error and quarantine paths.
+    *
+    * Boundary: Spark's text source emits NO row for a zero-byte file, so
+    * the "No data found in file." case can't surface here — route empty
+    * files from the LISTING (like RawSubmission's size-aware walk) in a
+    * landing zone where they matter. */
+  def rawDataFileViolations(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    import graft.ingest._
+    val files = spark.readStream.format("text")
+      .option("wholetext", "true").load(pathGlob)
+      .select(input_file_name().as("path"), col("value"))
+    def parse(ds: org.apache.spark.sql.Dataset[(String, String)]) =
+      ds.map { case (path, text) =>
+        val fname = path.substring(path.lastIndexOf('/') + 1)
+        try (fname, Some(YamlIngest.parseDataFile(fname, text)),
+          None: Option[String], None: Option[String])
+        catch {
+          case e: PyYamlError => (fname, None, Some(e.rendered), None)
+          case e: UnrepresentableShape => (fname, None, None, Some(e.what))
+        }
+      }
+    // typed flatMap/filter keep the parse OPAQUE to Catalyst — a column
+    // filter on the Option struct can be reordered past the rule kernel,
+    // which then sees null arrays (observed NPE)
+    val typed = files.as[(String, String)]
+    val rows = parse(typed).flatMap(_._2)
+    val ruleVios = graft.hep.HepDataRules.violations(rows.toDF())
+      .select(col("file"), col("seq").cast("int").as("seq"), col("message"),
+        col("level"))
+    val ingestVios = parse(typed).filter(_._2.isEmpty)
+      .map { case (f, _, perr, unrep) =>
+        perr match {
+          case Some(p) => (f, -1,
+            "There was a problem parsing the file:\n\t\t" +
+              p.replace("\n", "\n\t\t"), "error")
+          case None => (f, -2,
+            s"Unrepresentable YAML shape: ${unrep.getOrElse("")}", "error")
+        }
+      }.toDF("file", "seq", "message", "level")
+    ruleVios.unionByName(ingestVios)
+  }
+
   /** First-seen deduplication over the stream. Watermark bounds the state:
     * urls older than the delay are evicted (exactly the bounded-state
     * tradeoff a 10^12-doc stream needs). */

@@ -24,6 +24,39 @@ class StreamingSpec extends AnyFunSuite {
   lazy val pagesSchema = spark.read.parquet(stagingDir).schema
   def spec = PageValidator.pageSpec(PagesGen.Langs, htmlMaxBytes = 10000)
 
+  test("raw-YAML data files stream into the same violations as batch ingest") {
+    // a landing zone: whole YAML documents arrive as files; the stream
+    // emits the exact batch messages plus INGEST rows for parse errors
+    val dir = java.nio.file.Files.createTempDirectory("graft_rawstream_")
+    try {
+      graft.ingest.RawYamlFixtures.docs.foreach { case (n, text) =>
+        java.nio.file.Files.write(dir.resolve(n), text.getBytes("UTF-8"))
+      }
+      java.nio.file.Files.write(dir.resolve("broken.yaml"),
+        "a: b:\n - ]\n".getBytes("UTF-8"))
+      val q = StreamingValidator.rawDataFileViolations(spark, dir.toString + "/*.yaml")
+        .writeStream.format("memory").queryName("stream_rawyaml")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val got = spark.sql("select * from stream_rawyaml").collect()
+        .map(r => (r.getAs[String]("file"), r.getAs[String]("message"))).toSet
+      val batch = graft.hep.HepDataRules.violations(
+          spark.createDataFrame(graft.ingest.RawYamlFixtures.docs.map { case (n, t) =>
+            graft.ingest.YamlIngest.parseDataFile(n, t) }))
+        .collect().map(r => (r.getAs[String]("file"), r.getAs[String]("message"))).toSet
+      // (zero-byte files emit no row through Spark's text source — the
+      // "No data found" case is a listing-level concern, see Scaladoc)
+      val comparable = batch.filterNot(_._1 == "raw_empty.yaml")
+      assert(comparable.subsetOf(got), (comparable -- got).take(3))
+      assert(comparable.size > 20)
+      assert(got.exists { case (f, m) =>
+        f == "broken.yaml" && m.startsWith("There was a problem parsing the file:") })
+    } finally {
+      import scala.util.Try
+      Try(org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile))
+    }
+  }
+
   test("streaming violations match the batch result (same compiled plan)") {
     val stream = spark.readStream.schema(pagesSchema).parquet(stagingDir)
     val q = StreamingValidator.violationStream(spec, stream)
