@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only equivalence probe: asserts a rewritten kernel is BIT-identical
+  * to its pure-Column spec on the real driver data before trusting it
+  * (optimization-round rule: prove equivalence, then optimize). */
+object EquivProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[8]")
+      .appName("graft-equiv")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // float×float: full cross of 50 queries × corpus
+    val q = e.where(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val crossF = e.select(col("vec_id"), col("embedding").as("cv")).join(broadcast(q))
+    val badF = crossF.select(
+        graft.ops.Similarity.cosineSpec(col("qv"), col("cv")).as("spec"),
+        graft.ops.Similarity.cosine(col("qv"), col("cv")).as("native"))
+      .where(not(col("spec") <=> col("native"))).count()
+    println(s"[equiv] cosine float mismatches: $badF")
+
+    // double×double incl. the planted +0.01 transform (dedup_embedding shape)
+    val d = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val planted = d.where(col("vec_id") < 50)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), x => x + lit(0.01)).as("v"))
+    val allD = d.unionByName(planted)
+    val qd = allD.where(col("vec_id") < 60).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val badD = allD.select(col("v").as("cv")).join(broadcast(qd))
+      .select(graft.ops.Similarity.cosineSpec(col("qv"), col("cv")).as("spec"),
+        graft.ops.Similarity.cosine(col("qv"), col("cv")).as("native"))
+      .where(not(col("spec") <=> col("native"))).count()
+    println(s"[equiv] cosine double mismatches: $badD")
+
+    // null / length-mismatch semantics
+    import spark.implicits._
+    val edge = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0))
+    ).toDF("a", "b")
+    val badE = edge.select(
+        graft.ops.Similarity.cosineSpec(col("a"), col("b")).as("spec"),
+        graft.ops.Similarity.cosine(col("a"), col("b")).as("native"))
+      .where(not(col("spec") <=> col("native"))).count()
+    println(s"[equiv] cosine edge mismatches: $badE")
+
+    // zero-norm vectors: BOTH formulations must throw ANSI DIVIDE_BY_ZERO
+    def throws(f: => Unit): Boolean =
+      try { f; false } catch { case _: ArithmeticException => true
+        case e: org.apache.spark.SparkException
+          if e.getMessage.contains("DIVIDE_BY_ZERO") => true }
+    val zero = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val specThrows = throws(zero.select(
+      graft.ops.Similarity.cosineSpec(col("a"), col("b"))).collect())
+    val nativeThrows = throws(zero.select(
+      graft.ops.Similarity.cosine(col("a"), col("b"))).collect())
+    println(s"[equiv] zero-norm: spec throws=$specThrows native throws=$nativeThrows")
+    spark.stop()
+  }
+}

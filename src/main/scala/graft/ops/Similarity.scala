@@ -25,7 +25,20 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Pure-Column spec of [[cosine]] — kept as the readable reference; the
+    * hot paths use the native one-pass kernel below (bit-identical, see
+    * sketch.CosineSim's Scaladoc). */
+  def cosineSpec(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity via the codegen'd one-pass sketch.CosineSim kernel —
+    * the `aggregate(zip_with(...))` spelling evaluated three interpreted
+    * CodegenFallback HOF aggregates per pair and disabled whole-stage
+    * codegen for the scoring projection. */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.sketch.CosineSim(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /** Final top-k of a scored (query_id, vec_id, cosine) table via the
     * bounded-heap aggregate: partial top-k per input partition (map-side

@@ -2,6 +2,7 @@ package graft.sketch
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -402,6 +403,94 @@ case class SortedJaccard(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Cosine similarity of two numeric array columns in ONE codegen'd pass —
+  * bit-identical to the pure-Column formulation in graft.ops.Similarity
+  * (`dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))` with dot =
+  * `aggregate(zip_with(a, b, (x,y) => x.cast(double)*y.cast(double)), 0.0,
+  * _+_)`): each accumulator is the same left fold from 0.0 in index order,
+  * so IEEE rounding matches term for term, and the null semantics are
+  * replayed exactly (null array, length mismatch — zip_with pads with null —
+  * or any null element all make the Column dot null, hence cosine null).
+  * The Column spelling evaluates THREE interpreted CodegenFallback
+  * HigherOrderFunction aggregates per pair and knocks the whole projection
+  * out of whole-stage codegen; this runs inside it. */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  @transient private lazy val leftElemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val rightElemType: DataType =
+    right.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  private def get(arr: ArrayData, et: DataType, i: Int): Double = et match {
+    case DoubleType => arr.getDouble(i)
+    case FloatType => arr.getFloat(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case IntegerType => arr.getInt(i).toDouble
+    case _ => arr.get(i, et).asInstanceOf[Number].doubleValue()
+  }
+
+  /** One-pass kernel; public so generated code can call it. Returns null
+    * (boxed) on length mismatch or any null element — the zip_with/aggregate
+    * null semantics. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    val lt = leftElemType; val rt = rightElemType
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = get(a, lt, i); val y = get(b, rt, i)
+      dab += x * y; daa += x * x; dbb += y * y
+      i += 1
+    }
+    val div = math.sqrt(daa) * math.sqrt(dbb)
+    // ANSI parity: the Column spec's Divide throws on a 0.0 divisor
+    // (zero-norm or empty vectors) instead of yielding NaN/Infinity
+    if (div == 0.0)
+      throw org.apache.spark.sql.graft.ColumnBridge.divideByZeroError()
+    java.lang.Double.valueOf(dab / div)
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("cosineSim", this)
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val boxed = ctx.freshName("cosBoxed")
+    val code =
+      code"""
+        ${leftGen.code}
+        ${rightGen.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${leftGen.isNull} && !${rightGen.isNull}) {
+          java.lang.Double $boxed = $self.compute(${leftGen.value}, ${rightGen.value});
+          if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.doubleValue(); }
+        }"""
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)
 }
 
