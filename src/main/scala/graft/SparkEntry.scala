@@ -274,14 +274,18 @@ object SparkEntry {
         .orderBy("text_md5")
     }),
     // ---- §2.2-2.4 HEPData nested-table rules over the fixture corpus ------
+    // fixture datasets use the CACHED encoders (HepModel/SubModel): implicit
+    // derivation re-paid ScalaReflection + serializer construction per call
     "hep_verdicts" -> ((s, dir) => {
-      import s.implicits._
-      graft.hep.HepDataRules.verdicts(graft.hep.HepFixtures.all.toDS().toDF())
+      graft.hep.HepDataRules.verdicts(
+          s.createDataset(graft.hep.HepFixtures.all)(
+            graft.hep.HepModel.hepRowEncoder).toDF())
         .orderBy("file")
     }),
     "hep_violations" -> ((s, dir) => {
-      import s.implicits._
-      graft.hep.HepDataRules.violations(graft.hep.HepFixtures.all.toDS().toDF())
+      graft.hep.HepDataRules.violations(
+          s.createDataset(graft.hep.HepFixtures.all)(
+            graft.hep.HepModel.hepRowEncoder).toDF())
         .orderBy("file", "seq")
     }),
     // raw-YAML production path: actual YAML bytes parsed on executors
@@ -289,9 +293,10 @@ object SparkEntry {
     // ingestion surface the 540-case differential corpus pins, oracle-
     // gated end-to-end here
     "raw_yaml_violations" -> ((s, dir) => {
-      import s.implicits._
-      val rows = s.createDataset(graft.ingest.RawYamlFixtures.docs)
-        .map { case (f, y) => graft.ingest.YamlIngest.parseDataFile(f, y) }
+      val rows = s.createDataset(graft.ingest.RawYamlFixtures.docs)(
+          graft.hep.HepModel.rawDocEncoder)
+        .map { case (f, y) => graft.ingest.YamlIngest.parseDataFile(f, y) }(
+          graft.hep.HepModel.hepRowEncoder)
       graft.hep.HepDataRules.violations(rows.toDF()).orderBy("file", "seq")
     }),
     // nested-rule throughput at scale (synthetic corpus; rows-only check)
@@ -300,8 +305,9 @@ object SparkEntry {
         .groupBy("phase").count().orderBy("phase")
     }),
     "sub_verdicts" -> ((s, dir) => {
-      import s.implicits._
-      graft.hep.SubmissionRules.verdicts(graft.hep.SubFixtures.all.toDS().toDF())
+      graft.hep.SubmissionRules.verdicts(
+          s.createDataset(graft.hep.SubFixtures.all)(
+            graft.hep.SubModel.subFileEncoder).toDF())
         .orderBy("file")
     }),
     // ---- training-pipeline: near-dup dedup family (rows-only checks) -------

@@ -122,8 +122,44 @@ object HepDataRules {
   /** Version-gated packed stage shared by [[violations]] and [[verdicts]]:
     * one row per input doc, `_v` = its sorted violation array (ref:
     * data_file_validator.py:136-142 — semantic checks only for major > 0;
-    * independent-variable checks only ≥ 1.1.0). */
-  private def packedViolations(df: DataFrame, version: SchemaVersion): DataFrame = {
+    * independent-variable checks only ≥ 1.1.0).
+    *
+    * Runs as TWO native kernels ([[ErrorValuesKernel]] for the sequential
+    * phase 1 + per-error schema pass, [[HepDocKernel]] for everything else
+    * incl. the final sort and the unexpected-error fallback) so the whole
+    * document projection stays in whole-stage codegen. The original
+    * pure-Column tree is preserved verbatim as [[packedViolationsSpec]];
+    * HepKernelEquivSpec asserts kernel == spec byte-for-byte across the
+    * fixtures, the synthetic 50k corpus, the raw-YAML fixtures and every
+    * published schema version. (The HOF tree was interpreted AND
+    * CodegenFallback: ~1.4 s of hep_scaled_50k at sf0.1, ~10× the kernel.) */
+  private[graft] def packedViolations(df: DataFrame, version: SchemaVersion): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val reprs = SchemaReprs.forVersion(version)
+    val kernelCfg = ErrorValuesKernel.ErrItemCfg(
+      v1 = version.major > 0,
+      errItemRepr = reprs.errorItem, errAsymRepr = reprs.errorAsym,
+      labelRepr =
+        if (version < SchemaVersion.V110) reprs.errorLabel
+        else "{'type': 'string'}",
+      symMemberRepr = reprs.errorSym,
+      minusMemberRepr = reprs.errorAsymMinus,
+      plusMemberRepr = reprs.errorAsymPlus)
+    val ev = ColumnBridge.column(ErrorValuesKernel(
+      ColumnBridge.expression(col("dep")), kernelCfg))
+    val doc = struct(col("file"), col("emptyDoc"), col("hasIndep"),
+      col("indep"), col("hasDep"), col("dep"),
+      col("indepBadRepr"), col("depBadRepr"))
+    df.select(col("file"),
+      ColumnBridge.column(HepDocKernel(
+        ColumnBridge.expression(doc), ColumnBridge.expression(ev),
+        HepDocKernel.cfgFor(version))).as("_v"))
+  }
+
+  /** The original fused pure-Column formulation of [[packedViolations]] —
+    * kept as the executable SPEC the kernel is differentially tested
+    * against (HepKernelEquivSpec); not on any hot path. */
+  private[graft] def packedViolationsSpec(df: DataFrame, version: SchemaVersion): DataFrame = {
     // structural deltas across the published schema versions (see
     // SchemaReprs): <1.1.0 uses the FLAT independent-value form (value:
     // string|number, low/high: number, additionalProperties false — no

@@ -97,6 +97,23 @@ final case class HepRow(
     indepBadRepr: String = null, depBadRepr: String = null)
 
 object HepModel {
+  /** Cached ExpressionEncoder for the (deeply nested) row type: deriving it
+    * implicitly per query call pays ScalaReflection + serializer-tree
+    * construction every time — a fixed per-QUERY planning cost that shows
+    * up on every hep-family bench entry (guide §1: measure first; the
+    * raw-YAML query spent ~0.3 s/run here). Encoders are immutable;
+    * analysis resolves fresh copies, so sharing one instance is safe. */
+  lazy val hepRowEncoder: org.apache.spark.sql.Encoder[HepRow] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.Encoders.product[HepRow].asInstanceOf[
+        org.apache.spark.sql.catalyst.encoders.AgnosticEncoder[HepRow]])
+
+  /** Cached encoder for raw (name, yaml-text) doc pairs. */
+  lazy val rawDocEncoder: org.apache.spark.sql.Encoder[(String, String)] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.Encoders.product[(String, String)].asInstanceOf[
+        org.apache.spark.sql.catalyst.encoders.AgnosticEncoder[(String, String)]])
+
   // convenience constructors for fixtures/tests
   def sym(v: String, label: String = null, labelIsString: Boolean = true,
       extraKeys: Seq[String] = Nil): HepErr =

@@ -38,6 +38,13 @@ final case class SubDoc(
 final case class SubFile(file: String, docs: Seq[SubDoc])
 
 object SubModel {
+  /** Cached ExpressionEncoder — same rationale as HepModel.hepRowEncoder
+    * (implicit derivation re-pays ScalaReflection per query call). */
+  lazy val subFileEncoder: org.apache.spark.sql.Encoder[SubFile] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.Encoders.product[SubFile].asInstanceOf[
+        org.apache.spark.sql.catalyst.encoders.AgnosticEncoder[SubFile]])
+
   val NoLic: LicField = LicField(present = false, isNull = false, value = null)
   val NullLic: LicField = LicField(present = true, isNull = true, value = null)
   def lic(v: String): LicField = LicField(present = true, isNull = false, v)

@@ -25,7 +25,6 @@ object HepGen {
   }
 
   def rows(spark: SparkSession, n: Long): DataFrame = {
-    import spark.implicits._
     import Residues._
     spark.range(n).map { id =>
       val v = (id % 10).toString
@@ -48,6 +47,6 @@ object HepGen {
       row(s"gen_$id.yaml",
         indep = Seq(indepVar("SQRT(S)", indepVals)),
         dep = Seq(depVar("SIG", Seq(dval(s"6.$v", errs0), dval(s"5.$v", errs1)))))
-    }.toDF()
+    }(HepModel.hepRowEncoder).toDF()
   }
 }
