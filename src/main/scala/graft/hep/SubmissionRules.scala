@@ -79,8 +79,24 @@ object SubmissionRules {
   /** Version-gated packed stage shared by [[violations]] and [[verdicts]]:
     * one row per input stream, `_v` = its sorted violation array (ref:
     * submission_file_validator.py — cmenergies only for major > 0 (:92);
-    * has-submission-doc and duplicate checks only ≥ 1.1.0 (:100,:112)). */
-  private def packedViolations(df: DataFrame, version: SchemaVersion): DataFrame = {
+    * has-submission-doc and duplicate checks only ≥ 1.1.0 (:100,:112)).
+    *
+    * Runs as the native [[SubDocKernel]]: the pure-Column HOF tree (kept
+    * verbatim below as [[packedViolationsSpec]], differentially pinned by
+    * SubKernelEquivSpec) is interpreted AND — on the fixture-literal driver
+    * queries — constant-folded single-threaded on the driver by
+    * ConvertToLocalRelation on every run (~0.85 s of sub_verdicts). */
+  private[graft] def packedViolations(df: DataFrame, version: SchemaVersion): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    df.select(col("file"),
+      ColumnBridge.column(SubDocKernel(
+        ColumnBridge.expression(struct(col("file"), col("docs"))),
+        SubDocKernel.cfgFor(version))).as("_v"))
+  }
+
+  /** The original fused pure-Column formulation — the executable SPEC the
+    * kernel is tested against; not on any hot path. */
+  private[graft] def packedViolationsSpec(df: DataFrame, version: SchemaVersion): DataFrame = {
     val docs = col("docs")
     val isTableDoc = (doc: Column, d: Column) =>
       !doc.getField("isEmpty") && (d > 0 || doc.getField("hasDataFile"))
