@@ -63,6 +63,21 @@ object EquivProbe {
     val nativeThrows = throws(zero.select(
       graft.ops.Similarity.cosine(col("a"), col("b"))).collect())
     println(s"[equiv] zero-norm: spec throws=$specThrows native throws=$nativeThrows")
+
+    // languageId: kernel path vs the pure-Column per-language filter spec
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = graft.ops.TextOps.languageId(docs, "text")
+    val b = graft.ops.TextOps.languageIdSpec(docs, "text")
+    assert(a.columns.sameElements(b.columns), "languageId column sets differ")
+    val mismatch = a.exceptAll(b).count() + b.exceptAll(a).count()
+    println(s"[equiv] languageId kernel-vs-spec mismatches: $mismatch")
+
+    // languageIdDim: native LangPred argmax vs the Column when-chain spec
+    val da = graft.ops.TextOps.languageIdDim(docs.select("doc_id", "text"), "text")
+    val db = graft.ops.TextOps.languageIdDimSpec(docs.select("doc_id", "text"), "text")
+    assert(da.columns.sameElements(db.columns), "languageIdDim column sets differ")
+    val dimMismatch = da.exceptAll(db).count() + db.exceptAll(da).count()
+    println(s"[equiv] languageIdDim pred kernel-vs-spec mismatches: $dimMismatch")
     spark.stop()
   }
 }

@@ -27,7 +27,44 @@ object ProfileProbe {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
+  /** `pipeline` mode: the full Bench phase-2 validate pass over the staged
+    * 10M-doc table at local[8] and local[32] (best-of-2) plus the invariant
+    * pass alone — the decomposition that drives the headline docs/sec. */
+  private def pipelineMode(): Unit = {
+    val stage = "/tmp/graft_bench_10000000"
+    for (k <- Seq(8, 32)) {
+      System.gc()
+      val spark = session(k)
+      val pages = spark.read.parquet(s"$stage/pages")
+      val expected = spark.read.parquet(s"$stage/expected")
+      val inv = (1 to 2).map(_ => timed(noop(
+        graft.engine.Passes.textInvariantViolations(
+          pages.select(org.apache.spark.sql.functions.col("part_id"),
+            org.apache.spark.sql.functions.col("url"),
+            org.apache.spark.sql.functions.col("text")),
+          "url", "text", expected, "text_sha256", carry = Seq("part_id"))))).min
+      println(f"[pipe] local[$k] invariant alone: $inv%6.2f s")
+      val full = (1 to 2).map { _ =>
+        timed {
+          val obs = org.apache.spark.sql.Observation()
+          val res = graft.engine.PageValidator.validate(spark, pages,
+            graft.testdata.PagesGen.langDim(spark), expected, htmlMaxBytes = 10000,
+            observation = Some(obs),
+            observeCols = Seq("url", "warc_ts", "text", "lang", "part_id"))
+          res.violations.persist()
+          noop(res.violations)
+          noop(res.verdicts)
+          require(obs.get("n_rows").asInstanceOf[Long] > 0)
+          res.violations.unpersist()
+        }
+      }.min
+      println(f"[pipe] local[$k] full pipeline:   $full%6.2f s")
+      spark.stop()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("pipeline")) { pipelineMode(); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = session(cpus)

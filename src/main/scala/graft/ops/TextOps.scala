@@ -30,8 +30,18 @@ object TextOps {
   private def toks(textCol: Column): Column = split(lower(textCol), "\\s+")
 
   /** Per-language stopword-hit scores + argmax prediction.
-    * Adds score_<lang> columns and `lang_pred` (tie-break: lexicographic). */
-  def languageId(df: DataFrame, textCol: String): DataFrame = {
+    * Adds score_<lang> columns and `lang_pred` (tie-break: lexicographic).
+    * Computed through the one-pass codegen'd sketch.LangScores kernel (the
+    * per-language `filter(t, isin(...))` spelling — kept below as
+    * [[languageIdSpec]] — paid one interpreted CodegenFallback token pass
+    * per language); identical output, pinned by OpsSpec. */
+  def languageId(df: DataFrame, textCol: String): DataFrame =
+    languageIdDim(df, textCol, StopwordSets)
+
+  /** Pure-Column spec of [[languageId]] — one interpreted filter pass per
+    * language; kept as the readable reference the kernel path is tested
+    * against. */
+  def languageIdSpec(df: DataFrame, textCol: String): DataFrame = {
     val t = toks(col(textCol))
     val scored = StopwordSets.toSeq.sortBy(_._1).foldLeft(df) { case (d, (lang, words)) =>
       d.withColumn(s"score_$lang",
@@ -53,6 +63,27 @@ object TextOps {
     * `lang_pred` (ties: lexicographically smallest language; all-zero:
     * 'und'). */
   def languageIdDim(df: DataFrame, textCol: String,
+      dim: Map[String, Seq[String]] = ExtendedStopwordSets): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val langs = dim.keys.toSeq.sorted
+    val scores = ColumnBridge.column(graft.sketch.LangScores(
+      ColumnBridge.expression(toks(col(textCol))), langs.map(dim)))
+    // argmax via the native LangPred kernel: the Column when(struct)-reduce
+    // chain (kept in [[languageIdDimSpec]]) is expanded by
+    // SimplifyExtractValueOps into O(2^|langs|) duplicated CASE WHENs —
+    // 255 of them / a 27 KB plan at 9 languages (lang_id_dim 0.88 s; the
+    // 4-language chain costs 15). Bit-identical: strict-greater argmax,
+    // ties to the first (sorted) language, 'und' on all-zero or null.
+    df.withColumn("_scores", scores)
+      .select((df.columns.map(col) ++ langs.zipWithIndex.map { case (l, i) =>
+        element_at(col("_scores"), i + 1).as(s"score_$l")
+      }) :+ ColumnBridge.column(graft.sketch.LangPred(
+        ColumnBridge.expression(col("_scores")), langs)).as("lang_pred"): _*)
+  }
+
+  /** Pure-Column argmax spec of [[languageIdDim]]'s prediction — kept for
+    * the differential test only. */
+  private[graft] def languageIdDimSpec(df: DataFrame, textCol: String,
       dim: Map[String, Seq[String]] = ExtendedStopwordSets): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     val langs = dim.keys.toSeq.sorted

@@ -626,6 +626,64 @@ case class LangScores(child: Expression, wordLists: Seq[Seq[String]])
     copy(child = c)
 }
 
+/** Argmax language prediction over a LangScores array: the language with
+  * the strictly greatest score, ties to the earliest (lexicographically
+  * smallest, since callers pass langs sorted), 'und' when all scores are
+  * zero or the array is null. Bit-identical to the Column formulation
+  * `langs.map(l => struct(score_l, l)).reduce((a,b) => when(b.s > a.s, b)
+  * .otherwise(a))` + the `> 0` guard — which SimplifyExtractValueOps
+  * expands to O(2^|langs|) duplicated CASE WHEN branches (measured 255
+  * CASE WHENs and a 27 KB plan for 9 languages vs 15 for 4). */
+case class LangPred(child: Expression, langs: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "lang_pred"
+
+  @transient private lazy val langStrs: Array[UTF8String] =
+    langs.map(UTF8String.fromString).toArray
+  @transient private lazy val und = UTF8String.fromString("und")
+
+  // null scores array -> the Column chain degrades to 'und', not null
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) und else compute(v.asInstanceOf[ArrayData])
+  }
+
+  def compute(scores: ArrayData): UTF8String = {
+    val n = math.min(scores.numElements(), langStrs.length)
+    if (n == 0) return und
+    var bestScore = scores.getLong(0) // reduce seeds from langs(0)
+    var bestIdx = 0
+    var i = 1
+    while (i < n) {
+      val s = scores.getLong(i)
+      if (s > bestScore) { bestScore = s; bestIdx = i } // strict > : ties keep first
+      i += 1
+    }
+    if (bestScore > 0) langStrs(bestIdx) else und
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("langPred", this)
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = false;
+        UTF8String ${ev.value} = ${childGen.isNull}
+          ? $self.nullValue() : $self.compute(${childGen.value});"""
+    ev.copy(code = code)
+  }
+
+  /** 'und' for a null scores array — matches the degraded Column chain. */
+  def nullValue(): UTF8String = und
+
+  override protected def withNewChildInternal(c: Expression): LangPred =
+    copy(child = c)
+}
+
 /** The `nprobe` nearest IVF cells of a vector (by cosine against the
   * driver-trained centroid list), in one codegen'd pass. Centroids are
   * pre-normalized at construction so the per-cell score is a plain dot
