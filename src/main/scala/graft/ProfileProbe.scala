@@ -37,6 +37,12 @@ object ProfileProbe {
       val spark = session(k)
       val pages = spark.read.parquet(s"$stage/pages")
       val expected = spark.read.parquet(s"$stage/expected")
+      val shaOnly = (1 to 2).map(_ => timed(noop(
+        pages.select(col("url"), sha2(col("text").cast("binary"), 256))))).min
+      println(f"[pipe] local[$k] sha256 alone:    $shaOnly%6.2f s")
+      val dupsPlain = (1 to 2).map(_ => timed(noop(
+        graft.engine.Passes.duplicates(pages, "url")))).min
+      println(f"[pipe] local[$k] dups plain:      $dupsPlain%6.2f s")
       val inv = (1 to 2).map(_ => timed(noop(
         graft.engine.Passes.textInvariantViolations(
           pages.select(org.apache.spark.sql.functions.col("part_id"),
