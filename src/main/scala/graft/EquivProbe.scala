@@ -78,6 +78,22 @@ object EquivProbe {
     assert(da.columns.sameElements(db.columns), "languageIdDim column sets differ")
     val dimMismatch = da.exceptAll(db).count() + db.exceptAll(da).count()
     println(s"[equiv] languageIdDim pred kernel-vs-spec mismatches: $dimMismatch")
+
+    // HepGen: Column generator vs the Dataset.map closure spec
+    val g1 = graft.testdata.HepGen.rows(spark, 50000)
+    val g2 = graft.testdata.HepGen.rowsSpec(spark, 50000)
+    println(s"[equiv] hepgen schema match: ${g1.schema.sql == g2.schema.sql}" +
+      (if (g1.schema.sql != g2.schema.sql)
+        s"\n  native: ${g1.schema.sql}\n  spec:   ${g2.schema.sql}" else ""))
+    val j1 = g1.select(to_json(struct(g1.columns.map(col): _*))).collect().map(_.getString(0)).sorted
+    val j2 = g2.select(to_json(struct(g2.columns.map(col): _*))).collect().map(_.getString(0)).sorted
+    val genBad = j1.zip(j2).count { case (x, y) => x != y } +
+      math.abs(j1.length - j2.length)
+    println(s"[equiv] hepgen row mismatches: $genBad of ${j1.length}")
+    if (genBad > 0) j1.zip(j2).find { case (x, y) => x != y }.foreach { case (x, y) =>
+      println(s"  native: ${x.take(400)}")
+      println(s"  spec:   ${y.take(400)}")
+    }
     spark.stop()
   }
 }

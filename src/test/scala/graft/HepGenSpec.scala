@@ -35,4 +35,19 @@ class HepGenSpec extends AnyFunSuite {
       .exists(r => i % r == 0)).toLong
     assert(failing === expFailing)
   }
+
+  test("Column generator == Dataset.map closure spec, field for field") {
+    import org.apache.spark.sql.functions._
+    val g1 = HepGen.rows(spark, 5000)
+    val g2 = HepGen.rowsSpec(spark, 5000)
+    assert(g1.schema.fieldNames.sameElements(g2.schema.fieldNames))
+    val j1 = g1.select(to_json(struct(g1.columns.map(col): _*)))
+      .collect().map(_.getString(0)).sorted
+    val j2 = g2.select(to_json(struct(g2.columns.map(col): _*)))
+      .collect().map(_.getString(0)).sorted
+    assert(j1.length === j2.length)
+    j1.zip(j2).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a === b, s"row $i")
+    }
+  }
 }
