@@ -79,6 +79,39 @@ object EquivProbe {
     val dimMismatch = da.exceptAll(db).count() + db.exceptAll(da).count()
     println(s"[equiv] languageIdDim pred kernel-vs-spec mismatches: $dimMismatch")
 
+    // text kernels: WsTokenCount/BpeishTokenCount/NormalizedMd5 vs specs
+    // on the real documents plus a nasty-edge corpus
+    val edgeTexts = Seq(
+      "", " ", "  ", "\ta b", "a b ", " a\tb\nc ", "a", "123abc!?",
+      "ħĸλ Ωμ", "écolé", " nbsp", "日本語 テスト", "ab\fc\rd",
+      "mixed 字 x9 -- 😀 emoji", "😀😁",
+      "UPPER lower MiXeD", "ΣΊΣΥΦΟΣ", "İstanbul", "ẞharp")
+      .zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("doc_id", "text")
+    for ((label, d) <- Seq(("docs", docs.select(col("doc_id"), col("text"))),
+        ("edge", edgeTexts))) {
+      val tk = graft.ops.TextOps.tokenCounts(d, "text")
+        .select(col("doc_id"), col("ws_tokens"), col("bpeish_tokens"))
+      val ts = graft.ops.TextOps.tokenCountsSpec(d, "text")
+        .select(col("doc_id"), col("ws_tokens"), col("bpeish_tokens"))
+      val tBad = tk.exceptAll(ts).count() + ts.exceptAll(tk).count()
+      val fk = graft.ops.TextOps.fingerprint(d, "text")
+        .select(col("doc_id"), col("content_md5"))
+      val fs = graft.ops.TextOps.fingerprintSpec(d, "text")
+        .select(col("doc_id"), col("content_md5"))
+      val fBad = fk.exceptAll(fs).count() + fs.exceptAll(fk).count()
+      println(s"[equiv] text kernels ($label): tokenCounts=$tBad fingerprint=$fBad")
+      if (tBad > 0) {
+        val joined = tk.withColumnRenamed("ws_tokens", "wsK")
+          .withColumnRenamed("bpeish_tokens", "bpK")
+          .join(ts.withColumnRenamed("ws_tokens", "wsS")
+            .withColumnRenamed("bpeish_tokens", "bpS"), Seq("doc_id"))
+          .where(col("wsK") =!= col("wsS") || col("bpK") =!= col("bpS"))
+        joined.join(d, Seq("doc_id")).select("doc_id", "text", "wsK", "wsS", "bpK", "bpS")
+          .collect().foreach(r => println(s"  [equivdbg] ${r}"))
+      }
+    }
+
     // HepGen: Column generator vs the Dataset.map closure spec
     val g1 = graft.testdata.HepGen.rows(spark, 50000)
     val g2 = graft.testdata.HepGen.rowsSpec(spark, 50000)

@@ -127,8 +127,21 @@ object TextOps {
 
   /** Token counts: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs / digit runs / single punctuation — a cheap proxy for
-    * subword tokenizers' pre-tokenization). */
-  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    * subword tokenizers' pre-tokenization). Counted by the one-pass
+    * codegen'd kernels (sketch.WsTokenCount / BpeishTokenCount): the
+    * split + regexp_extract_all spelling (kept as [[tokenCountsSpec]])
+    * MATERIALIZED every token / match string per row only to take the
+    * array's size. */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    df.withColumn("ws_tokens", ColumnBridge.column(
+        graft.sketch.WsTokenCount(ColumnBridge.expression(col(textCol)))))
+      .withColumn("bpeish_tokens", ColumnBridge.column(
+        graft.sketch.BpeishTokenCount(ColumnBridge.expression(col(textCol)))))
+  }
+
+  /** Pure-Column spec of [[tokenCounts]] — differential-test reference. */
+  private[graft] def tokenCountsSpec(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("ws_tokens", size(split(col(textCol), "\\s+")).cast("long"))
       .withColumn("bpeish_tokens",
         size(regexp_extract_all(col(textCol),
@@ -136,8 +149,22 @@ object TextOps {
 
   /** Rolling hash over tokens (order-sensitive fingerprint; xxhash64
     * chaining — overflow-free under ANSI mode) plus a normalized content
-    * hash (md5 of lowercased, space-collapsed text). */
+    * hash (md5 of lowercased, space-collapsed text) via the one-pass
+    * sketch.NormalizedMd5 kernel ([[fingerprintSpec]] is the Column
+    * reference: lower + trim + a regex replace that materialized the
+    * whole normalized string per row). */
   def fingerprint(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val t = toks(col(textCol))
+    df.withColumn("rolling_hash",
+        aggregate(t, lit(1125899906842597L),
+          (acc, x) => xxhash64(acc, x)))
+      .withColumn("content_md5", ColumnBridge.column(
+        graft.sketch.NormalizedMd5(ColumnBridge.expression(col(textCol)))))
+  }
+
+  /** Pure-Column spec of [[fingerprint]] — differential-test reference. */
+  private[graft] def fingerprintSpec(df: DataFrame, textCol: String): DataFrame = {
     val t = toks(col(textCol))
     df.withColumn("rolling_hash",
         aggregate(t, lit(1125899906842597L),

@@ -626,6 +626,152 @@ case class LangScores(child: Expression, wordLists: Seq[Seq[String]])
     copy(child = c)
 }
 
+/** Whitespace token count in one byte pass: the number of fields
+  * `split(text, "\\s+")` (Spark limit -1) produces = number of maximal
+  * ASCII-whitespace runs + 1 — Java regex `\s` is ASCII-only
+  * ([ \t\n\x0B\f\r]), leading empty fields are kept for non-zero-width
+  * matches and limit -1 keeps trailing empties, so the run formula is
+  * exact (incl. "" -> 1, " " -> 2). Multi-byte UTF-8 units never match
+  * an ASCII class, so scanning bytes is safe. */
+case class WsTokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ws_token_count"
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(compute(v.asInstanceOf[UTF8String]))
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  def compute(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var runs = 0L
+    var inRun = false
+    var i = 0
+    while (i < bytes.length) {
+      if (isWs(bytes(i))) { if (!inRun) { runs += 1; inRun = true } }
+      else inRun = false
+      i += 1
+    }
+    runs + 1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("wsTokenCount", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): WsTokenCount =
+    copy(child = c)
+}
+
+/** BPE-ish pre-token count in one byte pass — the number of matches of
+  * `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` (regexp_extract_all): one per maximal
+  * ASCII letter run, one per maximal digit run, one per OTHER non-ASCII-
+  * whitespace CODE POINT — Java regex character classes match full code
+  * points, so an astral (4-byte UTF-8) character is ONE match
+  * (probe-verified on emoji). */
+case class BpeishTokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpeish_token_count"
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(compute(v.asInstanceOf[UTF8String]))
+
+  def compute(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var n = 0L
+    var i = 0
+    val L = bytes.length
+    while (i < L) {
+      val b = bytes(i)
+      if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) {
+        n += 1
+        do i += 1 while (i < L && ((bytes(i) >= 'A' && bytes(i) <= 'Z') ||
+          (bytes(i) >= 'a' && bytes(i) <= 'z')))
+      } else if (b >= '0' && b <= '9') {
+        n += 1
+        do i += 1 while (i < L && bytes(i) >= '0' && bytes(i) <= '9')
+      } else if (b == ' ' || b == '\t' || b == '\n' || b == 0x0B ||
+          b == '\f' || b == '\r') {
+        i += 1
+      } else if ((b & 0x80) == 0) { // other ASCII punctuation: one match
+        n += 1; i += 1
+      } else if ((b & 0xF8) == 0xF0) { // 4-byte sequence: one code point
+        n += 1; i += 4
+      } else if ((b & 0xF0) == 0xE0) { // 3-byte sequence: one BMP unit
+        n += 1; i += 3
+      } else if ((b & 0xE0) == 0xC0) { // 2-byte sequence: one BMP unit
+        n += 1; i += 2
+      } else { // stray continuation byte (malformed): defensive skip
+        n += 1; i += 1
+      }
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bpeishTokenCount", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeishTokenCount =
+    copy(child = c)
+}
+
+/** Normalized content hash in one pass: md5 hex of
+  * `regexp_replace(trim(lower(text)), "\\s+", " ")` — lowercasing via the
+  * same UTF8String.toLowerCase Spark's lower() uses, trim strips ASCII
+  * spaces only (UTF8String.trim), every internal ASCII-whitespace run
+  * collapses to a single 0x20, then MD5 over the UTF-8 bytes rendered as
+  * lowercase hex (byte-identical to Spark's md5()). */
+case class NormalizedMd5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalized_md5"
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  def compute(s: UTF8String): UTF8String = {
+    val lowered = s.toLowerCase.trim.getBytes
+    // collapse whitespace runs to single spaces in-place into a new buffer
+    val buf = new Array[Byte](lowered.length)
+    var o = 0
+    var i = 0
+    var inRun = false
+    while (i < lowered.length) {
+      val b = lowered(i)
+      if (isWs(b)) {
+        if (!inRun) { buf(o) = ' '; o += 1; inRun = true }
+      } else { buf(o) = b; o += 1; inRun = false }
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(buf, 0, o)
+    val digest = md.digest()
+    val hex = new Array[Byte](32)
+    val tab = NormalizedMd5.HexDigits
+    var j = 0
+    while (j < 16) {
+      hex(j * 2) = tab((digest(j) >> 4) & 0xF)
+      hex(j * 2 + 1) = tab(digest(j) & 0xF)
+      j += 1
+    }
+    UTF8String.fromBytes(hex)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("normalizedMd5", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): NormalizedMd5 =
+    copy(child = c)
+}
+
+object NormalizedMd5 {
+  private[sketch] val HexDigits: Array[Byte] = "0123456789abcdef".getBytes
+}
+
 /** Argmax language prediction over a LangScores array: the language with
   * the strictly greatest score, ties to the earliest (lexicographically
   * smallest, since callers pass langs sorted), 'und' when all scores are
