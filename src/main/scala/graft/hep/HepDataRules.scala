@@ -133,7 +133,13 @@ object HepDataRules {
     * fixtures, the synthetic 50k corpus, the raw-YAML fixtures and every
     * published schema version. (The HOF tree was interpreted AND
     * CodegenFallback: ~1.4 s of hep_scaled_50k at sf0.1, ~10× the kernel.) */
-  private[graft] def packedViolations(df: DataFrame, version: SchemaVersion): DataFrame = {
+  private[graft] def packedViolations(df: DataFrame, version: SchemaVersion): DataFrame =
+    packedViolations(df, version, Nil)
+
+  /** As above with extra pass-through columns (e.g. the streaming ingester's
+    * tagged-union fields) carried next to `_v`. */
+  private[graft] def packedViolations(df: DataFrame, version: SchemaVersion,
+      carry: Seq[String]): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     val reprs = SchemaReprs.forVersion(version)
     val kernelCfg = ErrorValuesKernel.ErrItemCfg(
@@ -150,10 +156,10 @@ object HepDataRules {
     val doc = struct(col("file"), col("emptyDoc"), col("hasIndep"),
       col("indep"), col("hasDep"), col("dep"),
       col("indepBadRepr"), col("depBadRepr"))
-    df.select(col("file"),
+    df.select((col("file") +: carry.map(col)) :+
       ColumnBridge.column(HepDocKernel(
         ColumnBridge.expression(doc), ColumnBridge.expression(ev),
-        HepDocKernel.cfgFor(version))).as("_v"))
+        HepDocKernel.cfgFor(version))).as("_v"): _*)
   }
 
   /** The original fused pure-Column formulation of [[packedViolations]] —

@@ -50,38 +50,52 @@ object StreamingValidator {
   def rawDataFileViolations(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
     import graft.ingest._
+    import graft.hep.{HepDataRules, HepRow, SchemaVersion}
     val files = spark.readStream.format("text")
       .option("wholetext", "true").load(pathGlob)
       .select(input_file_name().as("path"), col("value"))
-    def parse(ds: org.apache.spark.sql.Dataset[(String, String)]) =
-      ds.map { case (path, text) =>
-        val fname = path.substring(path.lastIndexOf('/') + 1)
-        try (fname, Some(YamlIngest.parseDataFile(fname, text)),
-          None: Option[String], None: Option[String])
-        catch {
-          case e: PyYamlError => (fname, None, Some(e.rendered), None)
-          case e: UnrepresentableShape => (fname, None, None, Some(e.what))
-        }
-      }
-    // typed flatMap/filter keep the parse OPAQUE to Catalyst — a column
-    // filter on the Option struct can be reordered past the rule kernel,
-    // which then sees null arrays (observed NPE)
+    // ONE parse per file per micro-batch: the previous shape unioned two
+    // branches over the SAME typed map (rule rows + ingest rows), and Spark
+    // does not share common subplans across union branches, so every file
+    // was read and YAML-parsed twice (round-5 verdict item). The parse now
+    // emits a tagged union — (HepRow, ingestSeq, ingestMsg) — and the split
+    // happens downstream on the packed stage: failed parses carry an
+    // empty-array placeholder row (the rule kernels run harmlessly on it;
+    // the generator's when() discards its `_v` in favour of the ingest
+    // message riding in the carry columns), so no filter has to sit
+    // between the parse and the kernel — the old double-parse union AND
+    // its filter-reordering NPE hazard are both gone.
     val typed = files.as[(String, String)]
-    val rows = parse(typed).flatMap(_._2)
-    val ruleVios = graft.hep.HepDataRules.violations(rows.toDF())
-      .select(col("file"), col("seq").cast("int").as("seq"), col("message"),
-        col("level"))
-    val ingestVios = parse(typed).filter(_._2.isEmpty)
-      .map { case (f, _, perr, unrep) =>
-        perr match {
-          case Some(p) => (f, -1,
-            "There was a problem parsing the file:\n\t\t" +
-              p.replace("\n", "\n\t\t"), "error")
-          case None => (f, -2,
-            s"Unrepresentable YAML shape: ${unrep.getOrElse("")}", "error")
-        }
-      }.toDF("file", "seq", "message", "level")
-    ruleVios.unionByName(ingestVios)
+    val parsed = typed.map { case (path, text) =>
+      val fname = path.substring(path.lastIndexOf('/') + 1)
+      def placeholder = HepRow(fname, emptyDoc = false,
+        hasIndep = false, indep = Nil, hasDep = false, dep = Nil)
+      try (YamlIngest.parseDataFile(fname, text),
+        None: Option[Int], None: Option[String])
+      catch {
+        case e: PyYamlError => (placeholder, Some(-1),
+          Some("There was a problem parsing the file:\n\t\t" +
+            e.rendered.replace("\n", "\n\t\t")))
+        case e: UnrepresentableShape => (placeholder, Some(-2),
+          Some(s"Unrepresentable YAML shape: ${e.what}"))
+      }
+    }
+    val flat = parsed.toDF("row", "ingestSeq", "ingestMsg")
+      .select(col("row.*"), col("ingestSeq"), col("ingestMsg"))
+    val packed = HepDataRules.packedViolations(flat, SchemaVersion.Default,
+      carry = Seq("ingestSeq", "ingestMsg"))
+    // one generator: ingest rows explode their single synthetic message,
+    // parse-OK rows explode `_v` (null/empty arrays emit nothing)
+    val ingestVio = struct(lit(0).as("phase"), lit(0).as("k1"),
+      lit(0).as("k2"), lit(0).as("k3"), lit(0).as("k4"), lit(0).as("k5"),
+      col("ingestMsg").as("message"))
+    packed
+      .select(col("file"), col("ingestSeq"),
+        posexplode(when(col("ingestSeq").isNotNull, array(ingestVio))
+          .otherwise(col("_v"))))
+      .select(col("file"),
+        coalesce(col("ingestSeq"), col("pos")).cast("int").as("seq"),
+        col("col.message").as("message"), lit("error").as("level"))
   }
 
   /** First-seen deduplication over the stream. Watermark bounds the state:

@@ -51,6 +51,13 @@ class StreamingSpec extends AnyFunSuite {
       assert(comparable.size > 20)
       assert(got.exists { case (f, m) =>
         f == "broken.yaml" && m.startsWith("There was a problem parsing the file:") })
+      // single-parse plan: exactly ONE MapElements (the YAML parse) — the
+      // old two-branch union read and parsed every file twice per batch
+      val planStr = StreamingValidator
+        .rawDataFileViolations(spark, dir.toString + "/*.yaml")
+        .queryExecution.analyzed.toString
+      val nParses = "MapElements".r.findAllIn(planStr).length
+      assert(nParses === 1, s"expected one parse node, plan:\n$planStr")
     } finally {
       import scala.util.Try
       Try(org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile))
