@@ -43,13 +43,16 @@ object ProfileProbe {
       val dupsPlain = (1 to 2).map(_ => timed(noop(
         graft.engine.Passes.duplicates(pages, "url")))).min
       println(f"[pipe] local[$k] dups plain:      $dupsPlain%6.2f s")
-      val inv = (1 to 2).map(_ => timed(noop(
-        graft.engine.Passes.textInvariantViolations(
-          pages.select(org.apache.spark.sql.functions.col("part_id"),
-            org.apache.spark.sql.functions.col("url"),
-            org.apache.spark.sql.functions.col("text")),
-          "url", "text", expected, "text_sha256", carry = Seq("part_id"))))).min
-      println(f"[pipe] local[$k] invariant alone: $inv%6.2f s")
+      for ((tag, smj) <- Seq(("shj", false), ("smj", true))) {
+        val inv = (1 to 2).map(_ => timed(noop(
+          graft.engine.Passes.textInvariantViolations(
+            pages.select(org.apache.spark.sql.functions.col("part_id"),
+              org.apache.spark.sql.functions.col("url"),
+              org.apache.spark.sql.functions.col("text")),
+            "url", "text", expected, "text_sha256", carry = Seq("part_id"),
+            preferSortMerge = smj)))).min
+        println(f"[pipe] local[$k] invariant $tag: $inv%6.2f s")
+      }
       val full = (1 to 2).map { _ =>
         timed {
           val obs = org.apache.spark.sql.Observation()
@@ -69,8 +72,31 @@ object ProfileProbe {
     }
   }
 
+  /** `invplans <outDir>`: dump the text-invariant join plan with and
+    * without the shuffled-hash hint (plan evidence for plans/r06). */
+  private def invPlans(outDir: String): Unit = {
+    val spark = session(8)
+    new java.io.File(outDir).mkdirs()
+    val stage = "/tmp/graft_bench_10000000"
+    val pages = spark.read.parquet(s"$stage/pages")
+      .select(col("part_id"), col("url"), col("text"))
+    val expected = spark.read.parquet(s"$stage/expected")
+    for ((tag, smj) <- Seq(("before", true), ("after", false))) {
+      val df = graft.engine.Passes.textInvariantViolations(
+        pages, "url", "text", expected, "text_sha256",
+        carry = Seq("part_id"), preferSortMerge = smj)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/pipeline_invariant_$tag.txt"),
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      System.err.println(s"[invplans] wrote $outDir/pipeline_invariant_$tag.txt")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("pipeline")) { pipelineMode(); return }
+    if (args.headOption.contains("invplans")) { invPlans(args(1)); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = session(cpus)
