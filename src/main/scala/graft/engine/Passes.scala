@@ -103,8 +103,12 @@ object Passes {
       expected: DataFrame, expectedHashCol: String,
       carry: Seq[String] = Nil,
       preferSortMerge: Boolean = false): DataFrame = {
-    val keep = (col(key) +: carry.map(col)) :+
-      sha2(col(textCol).cast("binary"), 256).as("_actual")
+    // sha via the thread-local-digest kernel: value-identical to
+    // sha2(bin, 256), which pays a MessageDigest.getInstance per row
+    val sha = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.sketch.Sha256Hex(org.apache.spark.sql.graft.ColumnBridge
+        .expression(col(textCol).cast("binary"))))
+    val keep = (col(key) +: carry.map(col)) :+ sha.as("_actual")
     val exp = expected.select(col(key), col(expectedHashCol).as("_expected"))
     val expSide = if (preferSortMerge) exp else exp.hint("shuffle_hash")
     pages.select(keep: _*)
